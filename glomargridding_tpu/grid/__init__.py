@@ -1,0 +1,17 @@
+"""Grid construction, observation-grid alignment, masks, climatology."""
+
+from .grid import (
+    assign_to_grid,
+    cross_coords,
+    grid_from_resolution,
+    grid_to_distance_matrix,
+    map_to_grid,
+)
+
+__all__ = [
+    "assign_to_grid",
+    "cross_coords",
+    "grid_from_resolution",
+    "grid_to_distance_matrix",
+    "map_to_grid",
+]
