@@ -1,0 +1,27 @@
+"""Kriging solver families and non-stationary ellipse models."""
+
+from .kriging import (
+    Kriging,
+    OrdinaryKriging,
+    SimpleKriging,
+    constraint_mask,
+    kriging_ordinary,
+    kriging_simple,
+    prep_obs_for_kriging,
+    get_unmasked_obs_indices,
+)
+from .stochastic import StochasticKriging, mv_normal_draw, scipy_mv_normal_draw
+
+__all__ = [
+    "Kriging",
+    "OrdinaryKriging",
+    "SimpleKriging",
+    "StochasticKriging",
+    "constraint_mask",
+    "get_unmasked_obs_indices",
+    "kriging_ordinary",
+    "kriging_simple",
+    "mv_normal_draw",
+    "prep_obs_for_kriging",
+    "scipy_mv_normal_draw",
+]

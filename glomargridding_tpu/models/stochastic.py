@@ -1,0 +1,305 @@
+r"""Two-stage stochastic kriging (Morice et al. 2021 ensemble method).
+
+Capability parity with reference ``stochastic.py``: ordinary-kriged field
+plus a simulated perturbation epsilon = (simple-kriged simulated obs) -
+simulated state, and multivariate-normal state draws with eigen-repair
+fallback. TPU re-design:
+
+- One Cholesky of :math:`K = C_{obs} + E` yields BOTH the simple weights
+  and the bordered ordinary solve (the reference computes an explicit
+  N^3 inverse at ``stochastic.py:159-162`` and a Guttman extension).
+- State draws are :math:`\mu + L z` with a single Cholesky factor of C and
+  ``jax.random`` keys, vmapped over ensemble members — drawing 200 states
+  costs barely more than one (the reference notes the factorisation
+  dominates at ``stochastic.py:344-349``; here that's explicit API:
+  factor once via ``draw_factor``, then ``draws_from_factor``).
+"""
+
+import logging
+from functools import partial
+from warnings import warn
+
+import jax
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+import numpy as np
+
+from .kriging import (
+    Kriging,
+    _extended_inverse,
+    _finalise_uncert,
+    _ordinary_core,
+    _simple_core,
+)
+
+
+# ===========================================================================
+# Multivariate-normal draws
+# ===========================================================================
+@jax.jit
+def draw_factor(cov):
+    """Lower Cholesky factor of a covariance (NaN if not SPD)."""
+    return jnp.linalg.cholesky(cov)
+
+
+@partial(jax.jit, static_argnames=("ndraws",))
+def draws_from_factor(key, L, loc, ndraws: int = 1):
+    """ndraws x N samples of N(loc, L L'). vmapped over members.
+
+    This is the TPU ensemble primitive: factor once, draw many.
+    """
+    n = L.shape[0]
+    z = jax.random.normal(key, (ndraws, n), dtype=L.dtype)
+    return loc[None, :] + z @ L.T
+
+
+def eigen_repaired_factor(
+    cov,
+    eigen_rtol: float = 1e-6,
+    eigen_fudge: float = 1e-8,
+    strict: bool = False,
+):
+    """Symmetric factor of a nearly-PSD covariance via eigen repair.
+
+    eigh, check |most negative| / largest against eigen_rtol (warn, or
+    raise when `strict`), floor eigenvalues at eigen_fudge, return
+    V sqrt(W) so that F F' equals the repaired covariance (rescue
+    semantics of the reference's ``stochastic.py:459-499``; non-strict by
+    default because the reference's primary draw path tolerates indefinite
+    inputs without raising).
+    """
+    cov = jnp.asarray(cov)
+    w, v = jnp.linalg.eigh(cov)
+    w_min = float(w[0])
+    w_max = float(w[-1])
+    if w_min < 0:
+        rtol_check = abs(w_min) / w_max
+        logging.warning(
+            "Negative eigenvalues detected: largest = "
+            f"{w_max}; smallest = {w_min}; ratio = {rtol_check}"
+        )
+        if strict and rtol_check >= eigen_rtol:
+            raise ValueError("Negative eigenvalues are unexpectedly large.")
+    w = jnp.where(w < eigen_fudge, eigen_fudge, w)
+    return v * jnp.sqrt(w)[None, :]
+
+
+def mv_normal_draw(
+    key,
+    loc,
+    cov,
+    ndraws: int = 1,
+    eigen_rtol: float = 1e-6,
+    eigen_fudge: float = 1e-8,
+    strict: bool = False,
+):
+    """Draw from N(loc, cov) with automatic eigen-repair fallback.
+
+    Tries a Cholesky factor first; if the matrix is not positive-definite
+    (NaNs in the factor) falls back to the eigen-repaired symmetric factor
+    — same rescue semantics as the reference's ``scipy_mv_normal_draw``
+    (``stochastic.py:395-502``) with explicit ``jax.random`` keys.
+    Returns shape (N,) for ndraws == 1 else (ndraws, N).
+    """
+    cov = jnp.asarray(cov)
+    if cov.ndim != 2:
+        raise ValueError("cov should be 2D.")
+    if cov.shape[0] != cov.shape[1]:
+        raise ValueError("cov is not a square matrix")
+    loc = jnp.asarray(loc, cov.dtype)
+    L = draw_factor(cov)
+    if bool(jnp.isnan(L[-1, -1])):
+        L = eigen_repaired_factor(cov, eigen_rtol, eigen_fudge, strict)
+    out = draws_from_factor(key, L, loc, ndraws)
+    return out[0] if ndraws == 1 else out
+
+
+_GLOBAL_SEED = np.random.SeedSequence(20260816)
+
+
+def scipy_mv_normal_draw(
+    loc,
+    cov,
+    ndraws: int = 1,
+    eigen_rtol: float = 1e-6,
+    eigen_fudge: float = 1e-8,
+):
+    """Keyless MVN draw (API parity with the reference's global-RNG form).
+
+    Prefer ``mv_normal_draw`` with an explicit key; this wrapper draws a
+    fresh key from a module-global seed sequence for drop-in workflows.
+    """
+    global _GLOBAL_SEED
+    seed = int(_GLOBAL_SEED.spawn(1)[0].generate_state(1)[0])
+    return np.asarray(
+        mv_normal_draw(
+            jax.random.key(seed), loc, cov, ndraws, eigen_rtol, eigen_fudge
+        )
+    )
+
+
+# ===========================================================================
+# StochasticKriging
+# ===========================================================================
+class StochasticKriging(Kriging):
+    """Ordinary-kriged field plus simulated perturbation (ensemble member).
+
+    After ``solve`` the attributes `gridded_field` (unperturbed),
+    `simulated_grid`, `simulated_obs`, and `epsilon` are populated
+    (parity: reference ``stochastic.py:32-392``). `error_cov` is required.
+    """
+
+    method = "stochastic"
+
+    def __init__(self, covariance, idx, obs, error_cov) -> None:
+        if error_cov is None:
+            raise ValueError(
+                "Error Covariance must be provided for StochasticKriging"
+            )
+        super().__init__(
+            covariance=covariance, idx=idx, obs=obs, error_cov=error_cov
+        )
+
+    def set_simple_kriging_weights(self, simple_kriging_weights) -> None:
+        """Inject pre-computed simple kriging weights (second stage)."""
+        self.simple_kriging_weights = np.asarray(simple_kriging_weights)
+
+    def get_kriging_weights(self) -> None:
+        """One factorisation -> simple AND extended ordinary weights."""
+        K, C_cross, C_diag = self._blocks()
+        y = jnp.asarray(self.obs, K.dtype)
+        field, uncert2, cmask, V, u, lam = _ordinary_core(
+            K, C_cross, C_diag, y
+        )
+        self.simple_kriging_weights = np.asarray(V).T
+        W = V.T - lam[:, None] * u[None, :]
+        self.kriging_weights = np.asarray(
+            jnp.concatenate([W, lam[:, None]], axis=1)
+        )
+        self._field = np.asarray(field)
+        self._uncert2 = uncert2
+        self._cmask = cmask
+
+    def kriging_weights_from_inverse(self, inv) -> None:
+        """Simple + extended weights from a pre-computed (C_obs+E)^{-1}."""
+        if len(self.idx) != inv.shape[0]:
+            raise ValueError(
+                "inv must be square with side length == len(self.idx)"
+            )
+        _, C_cross, _ = self._blocks()
+        inv = jnp.asarray(inv, C_cross.dtype)
+        self.simple_kriging_weights = np.asarray(inv @ C_cross).T
+        inv_ext = jnp.asarray(_extended_inverse(np.asarray(inv)))
+        M = C_cross.shape[1]
+        ones_m = jnp.ones((1, M), C_cross.dtype)
+        ext = jnp.concatenate([C_cross, ones_m], axis=0)
+        self.kriging_weights = np.asarray((inv_ext @ ext).T)
+
+    def get_uncertainty(self):
+        """Ordinary-kriging uncertainty of the first stage."""
+        if hasattr(self, "_uncert2"):
+            return _finalise_uncert(self._uncert2)
+        if not hasattr(self, "kriging_weights"):
+            raise KeyError("Please compute Kriging Weights first")
+        _, C_cross, C_diag = self._blocks()
+        Wext = jnp.asarray(self.kriging_weights)
+        alpha = Wext[:, -1]
+        ones_m = jnp.ones((1, C_cross.shape[1]), C_cross.dtype)
+        ext = jnp.concatenate([C_cross, ones_m], axis=0)
+        diag_wc = jnp.einsum("nm,mn->m", ext, Wext)
+        return _finalise_uncert(C_diag - diag_wc - alpha)
+
+    def constraint_mask(self):
+        """Constraint mask from the simple kriging weights."""
+        if not hasattr(self, "simple_kriging_weights"):
+            raise KeyError("Please set kriging weights")
+        _, C_cross, C_diag = self._blocks()
+        W = jnp.asarray(self.simple_kriging_weights)
+        num = jnp.einsum("nm,mn->m", C_cross, W)
+        return np.asarray(num / C_diag)
+
+    def solve(self, simulated_state=None, key=None):
+        """Perturbed ensemble member: ordinary field + epsilon.
+
+        `simulated_state` may be pre-computed (recommended: factor C once
+        and batch-draw states with ``draw_factor``/``draws_from_factor``).
+        `key` is a jax PRNG key; one is derived from the module seed
+        sequence when omitted.
+        """
+        if not hasattr(self, "kriging_weights"):
+            self.get_kriging_weights()
+        if self.error_cov is None:
+            raise ValueError(
+                "Error Covariance must be set to draw simulated observations"
+            )
+        if key is None:
+            seed = int(_GLOBAL_SEED.spawn(1)[0].generate_state(1)[0])
+            key = jax.random.key(seed)
+        key_state, key_obs = jax.random.split(key)
+
+        if simulated_state is None:
+            simulated_state = mv_normal_draw(
+                key_state,
+                jnp.zeros(self.covariance.shape[0]),
+                jnp.asarray(self.covariance),
+                ndraws=1,
+            )
+        simulated_state = np.asarray(simulated_state).astype(
+            self.covariance.dtype
+        )
+
+        obs_noise = mv_normal_draw(
+            key_obs,
+            jnp.zeros(self.error_cov.shape[0]),
+            jnp.asarray(self.error_cov),
+            ndraws=1,
+        )
+        self.simulated_obs = simulated_state[self.idx] + np.asarray(
+            obs_noise
+        ).astype(self.covariance.dtype)
+
+        self.simulated_grid = self.simple_kriging_weights @ self.simulated_obs
+        self.epsilon = self.simulated_grid - simulated_state
+
+        if hasattr(self, "_field"):
+            self.gridded_field = self._field
+        else:
+            grid_obs = np.append(self.obs, 0).astype(self.obs.dtype)
+            self.gridded_field = self.kriging_weights @ grid_obs
+        return self.gridded_field + self.epsilon
+
+
+def batched_ensemble_step(key, covariance, error_cov, idx, obs, n_members):
+    """Fully-batched ensemble generation: one factor, vmapped members.
+
+    Returns (members, gridded_field): members is (n_members, M). This is
+    the production path for 100-member ensembles — the per-member work is
+    two matvecs, all batched on the MXU.
+    """
+    cov = jnp.asarray(covariance)
+    idx = jnp.asarray(idx)
+    E = jnp.asarray(error_cov, cov.dtype)
+    y = jnp.asarray(obs, cov.dtype)
+
+    obs_obs = cov[idx[:, None], idx[None, :]] + E
+    C_cross = cov[idx, :]
+    C_diag = jnp.diagonal(cov)
+    field, _, _, V, u, lam = _ordinary_core(obs_obs, C_cross, C_diag, y)
+
+    L = draw_factor(cov)
+    LE = draw_factor(E)
+
+    def one_member(k):
+        k1, k2 = jax.random.split(k)
+        state = (
+            jax.random.normal(k1, (cov.shape[0],), cov.dtype) @ L.T
+        )
+        obs_sim = state[idx] + (
+            jax.random.normal(k2, (E.shape[0],), cov.dtype) @ LE.T
+        )
+        grid_sim = V.T @ obs_sim
+        return field + (grid_sim - state)
+
+    keys = jax.random.split(key, n_members)
+    members = jax.vmap(one_member)(keys)
+    return members, field

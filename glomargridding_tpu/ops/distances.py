@@ -279,6 +279,19 @@ def euclidean_distance(df, radius: float = RADIUS_OF_EARTH_KM):
     return np.asarray(euclidean_matrix(lat, lon, radius=radius))
 
 
+def cartesian_euclidean_from_frame(df, **_ignored):
+    """Planar Euclidean pairwise matrix from a lat/lon frame.
+
+    Matches sklearn's ``euclidean_distances`` on raw coordinates; used by
+    abstract-planar configurations (e.g. the GeoStats.jl golden test).
+    """
+    if list(df.columns) != ["lat", "lon"]:
+        raise ValueError("Input must only contain 'lat' and 'lon' columns")
+    lat = np.asarray(df["lat"], dtype=float)
+    lon = np.asarray(df["lon"], dtype=float)
+    return np.asarray(cartesian_euclidean_matrix(lat, lon))
+
+
 def calculate_distance_matrix(
     df,
     dist_func=haversine_distance_from_frame,

@@ -1,0 +1,326 @@
+"""Kriging solver tests.
+
+Includes the GeoStats.jl golden-file oracle: ordinary kriging on a 20 x 20
+planar grid with a Matern(nu=1.5) variogram must reproduce the stored
+output of the independent Julia implementation (range conversion /3
+between the libraries), exactly as the reference validates itself.
+"""
+
+import os
+from itertools import product
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from glomargridding_tpu.grid import (
+    grid_from_resolution,
+    grid_to_distance_matrix,
+    map_to_grid,
+)
+from glomargridding_tpu.models.kriging import (
+    OrdinaryKriging,
+    SimpleKriging,
+    _extended_inverse,
+    constraint_mask,
+    kriging_ordinary,
+    kriging_simple,
+)
+from glomargridding_tpu.models.stochastic import StochasticKriging
+from glomargridding_tpu.ops.distances import cartesian_euclidean_from_frame
+from glomargridding_tpu.ops.variogram import MaternVariogram
+
+from conftest import reference_data_path, requires_reference_data
+
+
+def _load_golden():
+    path = reference_data_path("geostatsjl_ord_krig_results.dat")
+    with open(path) as f:
+        vals = [float(line) for line in f]
+    # Julia writes Fortran (column-major) order.
+    return np.reshape(vals, (20, 20), "F")
+
+
+def _setup():
+    grid = grid_from_resolution(1, [(1, 21), (1, 21)], ["lat", "lon"])
+    obs = pd.DataFrame(
+        {
+            "lat": [5.0, 15.0, 10.0],
+            "lon": [5.0, 10.0, 15.0],
+            "val": [1.0, 0.0, 1.0],
+        }
+    )
+    obs = map_to_grid(obs, grid, grid_coords=["lat", "lon"])
+    dist = grid_to_distance_matrix(grid, cartesian_euclidean_from_frame)
+    variogram = MaternVariogram(range=35 / 3, psill=4.0, nugget=0.0, nu=1.5)
+    covariance = np.asarray(variogram.fit(dist.values))
+    grid_idx = obs["grid_idx"].to_numpy()
+    obs_vals = obs["val"].to_numpy()
+    return covariance, grid_idx, obs_vals
+
+
+def _rand_error_cov(shape, grid_idx, rng, with_nan_at=None):
+    err_cov = np.full(shape, np.nan)
+    vals = rng.random((3, 3))
+    vals = vals @ vals.T
+    if with_nan_at is not None:
+        vals[with_nan_at, with_nan_at] = np.nan
+    for (i, j), v in zip(product(grid_idx, grid_idx), vals.flatten()):
+        err_cov[i, j] = v
+    return err_cov, vals
+
+
+@requires_reference_data
+def test_ordinary_kriging_golden():
+    covariance, grid_idx, obs_vals = _setup()
+    expected = _load_golden()
+    OK = OrdinaryKriging(covariance, idx=grid_idx, obs=obs_vals)
+    k = OK.solve()
+    np.testing.assert_allclose(
+        expected, np.reshape(k, (20, 20), "C"), rtol=1e-7, atol=1e-9
+    )
+
+
+@requires_reference_data
+def test_ordinary_kriging_golden_function_form():
+    covariance, grid_idx, obs_vals = _setup()
+    expected = _load_golden()
+    S = covariance[grid_idx[:, None], grid_idx[None, :]]
+    SS = covariance[grid_idx, :]
+    with pytest.warns(DeprecationWarning):
+        k, _ = kriging_ordinary(S, SS, obs_vals, covariance)
+    np.testing.assert_allclose(
+        expected, np.reshape(k, (20, 20), "C"), rtol=1e-7, atol=1e-9
+    )
+
+
+@requires_reference_data
+def test_ordinary_kriging_from_weights():
+    covariance, grid_idx, obs_vals = _setup()
+    expected = _load_golden()
+    # Weights computed the reference way: LU solve of the extended system.
+    S = covariance[grid_idx[:, None], grid_idx[None, :]]
+    SS = covariance[grid_idx, :]
+    N, M = SS.shape
+    S_ext = np.block([[S, np.ones((N, 1))], [np.ones((1, N)), 0]])
+    SS_ext = np.concatenate((SS, np.ones((1, M))), axis=0)
+    weights = np.linalg.solve(S_ext, SS_ext).T
+
+    OK = OrdinaryKriging(covariance, idx=grid_idx, obs=obs_vals)
+    OK.set_kriging_weights(weights)
+    k = OK.solve()
+    np.testing.assert_allclose(
+        expected, np.reshape(k, (20, 20), "C"), rtol=1e-7, atol=1e-12
+    )
+
+
+@requires_reference_data
+def test_ordinary_kriging_from_inverse():
+    covariance, grid_idx, obs_vals = _setup()
+    expected = _load_golden()
+    S = covariance[grid_idx[:, None], grid_idx[None, :]]
+    S_inv = np.linalg.inv(S)
+    OK = OrdinaryKriging(covariance, idx=grid_idx, obs=obs_vals)
+    S_ext_inv = OK.extended_inverse(S_inv)
+    OK.kriging_weights_from_inverse(S_ext_inv)
+    k = OK.solve()
+    np.testing.assert_allclose(
+        expected, np.reshape(k, (20, 20), "C"), rtol=1e-6, atol=1e-12
+    )
+
+
+def test_ordinary_matches_numpy_reference(rng):
+    """Bordered-Cholesky solve == dense extended-system LU solve."""
+    covariance, grid_idx, obs_vals = _setup()
+    err_cov, err_vals = _rand_error_cov(
+        covariance.shape, grid_idx, rng
+    )
+    OK = OrdinaryKriging(
+        covariance, idx=grid_idx, obs=obs_vals, error_cov=err_cov
+    )
+    k = OK.solve()
+    u = OK.get_uncertainty()
+    a = OK.constraint_mask()
+    assert k.shape == u.shape == a.shape
+
+    # independent numpy implementation of the reference algorithm
+    S = covariance[grid_idx[:, None], grid_idx[None, :]] + err_vals
+    SS = covariance[grid_idx, :]
+    N, M = SS.shape
+    S_ext = np.block([[S, np.ones((N, 1))], [np.ones((1, N)), 0]])
+    SS_ext = np.concatenate((SS, np.ones((1, M))), axis=0)
+    W = np.linalg.solve(S_ext, SS_ext).T
+    k_ref = W @ np.append(obs_vals, 0)
+    alpha = W[:, -1]
+    u2_ref = np.diag(covariance - W @ SS_ext) - alpha
+    u_ref = np.sqrt(np.maximum(u2_ref, 0))
+    np.testing.assert_allclose(k, k_ref, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(u, u_ref, rtol=1e-6, atol=1e-8)
+
+    # constraint mask against its function form
+    a_ref = constraint_mask(S, SS, covariance)
+    np.testing.assert_allclose(a, a_ref, rtol=1e-8)
+
+
+def test_simple_matches_numpy_reference(rng):
+    covariance, grid_idx, obs_vals = _setup()
+    err_cov, err_vals = _rand_error_cov(covariance.shape, grid_idx, rng)
+    SK = SimpleKriging(
+        covariance, idx=grid_idx, obs=obs_vals, error_cov=err_cov
+    )
+    k = SK.solve()
+    u = SK.get_uncertainty()
+    a = SK.constraint_mask()
+    assert k.shape == u.shape == a.shape
+
+    S = covariance[grid_idx[:, None], grid_idx[None, :]] + err_vals
+    SS = covariance[grid_idx, :]
+    W = np.linalg.solve(S, SS).T
+    k_ref = W @ obs_vals
+    u2_ref = np.diag(covariance - W @ SS)
+    u_ref = np.sqrt(np.maximum(u2_ref, 0))
+    np.testing.assert_allclose(k, k_ref, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(u, u_ref, rtol=1e-6, atol=1e-8)
+
+    with pytest.warns(DeprecationWarning):
+        k2, u2 = kriging_simple(S, SS, obs_vals, covariance)
+    np.testing.assert_allclose(k2, k, rtol=1e-10)
+    np.testing.assert_allclose(u2, u, rtol=1e-8)
+
+
+def test_simple_kriging_mean_shift():
+    covariance, grid_idx, obs_vals = _setup()
+    SK = SimpleKriging(covariance, idx=grid_idx, obs=obs_vals)
+    base = SK.solve(mean=0.0)
+    del SK.kriging_weights
+    shifted = SimpleKriging(covariance, idx=grid_idx, obs=obs_vals).solve(
+        mean=2.5
+    )
+    np.testing.assert_allclose(shifted, base + 2.5, rtol=1e-10)
+
+
+@pytest.mark.parametrize("n", [10, 25, 100, 500])
+def test_extended_inverse_trick(n, rng):
+    A = rng.random((n, n))
+    S = A @ A.T + n * np.eye(n)
+    Sinv = np.linalg.inv(S)
+    Sinv_ext = _extended_inverse(Sinv)
+    S_ext = np.block([[S, np.ones((n, 1))], [np.ones((1, n)), 0]])
+    np.testing.assert_allclose(
+        Sinv_ext, np.linalg.inv(S_ext), rtol=1e-5, atol=1e-8
+    )
+
+
+def test_stochastic_kriging(rng):
+    covariance, grid_idx, obs_vals = _setup()
+    err_cov, err_vals = _rand_error_cov(covariance.shape, grid_idx, rng)
+    StochKrige = StochasticKriging(
+        covariance, idx=grid_idx, obs=obs_vals, error_cov=err_cov
+    )
+    import jax
+
+    k = StochKrige.solve(key=jax.random.key(0))
+    u = StochKrige.get_uncertainty()
+    a = StochKrige.constraint_mask()
+    assert k.shape == u.shape == a.shape
+
+    # First-stage field must equal plain ordinary kriging.
+    S = covariance[grid_idx[:, None], grid_idx[None, :]] + err_vals
+    SS = covariance[grid_idx, :]
+    with pytest.warns(DeprecationWarning):
+        k2, u2 = kriging_ordinary(S, SS, obs_vals, covariance)
+    assert hasattr(StochKrige, "gridded_field")
+    np.testing.assert_allclose(k2, StochKrige.gridded_field, rtol=1e-7)
+    np.testing.assert_allclose(u2, u, rtol=1e-6, atol=1e-9)
+
+    # epsilon = simulated_grid - simulated_state; solution = field + epsilon
+    np.testing.assert_allclose(
+        k, StochKrige.gridded_field + StochKrige.epsilon, rtol=1e-10
+    )
+
+    # constraint mask reproducible after weight re-injection
+    sk_weights = StochKrige.simple_kriging_weights
+    delattr(StochKrige, "simple_kriging_weights")
+    StochKrige.set_simple_kriging_weights(sk_weights)
+    a2 = StochKrige.constraint_mask()
+    np.testing.assert_allclose(a, a2)
+
+
+def test_stochastic_injected_state_deterministic(rng):
+    """With an injected simulated state the perturbation is reproducible."""
+    covariance, grid_idx, obs_vals = _setup()
+    err_cov, err_vals = _rand_error_cov(covariance.shape, grid_idx, rng)
+    state = rng.normal(size=covariance.shape[0])
+    import jax
+
+    K1 = StochasticKriging(covariance, grid_idx, obs_vals, err_cov)
+    out1 = K1.solve(simulated_state=state, key=jax.random.key(7))
+    K2 = StochasticKriging(covariance, grid_idx, obs_vals, err_cov)
+    out2 = K2.solve(simulated_state=state, key=jax.random.key(7))
+    np.testing.assert_allclose(out1, out2)
+    # and the simulated grid is the simple-kriged simulated obs
+    np.testing.assert_allclose(
+        K1.simulated_grid,
+        K1.simple_kriging_weights @ K1.simulated_obs,
+        rtol=1e-10,
+    )
+
+
+def test_filter_bad_error_cov_values(rng):
+    covariance, grid_idx, obs_vals = _setup()
+    err_cov, _ = _rand_error_cov(
+        covariance.shape, grid_idx, rng, with_nan_at=2
+    )
+    expected_warn = (
+        "Have nans or zeros on the error covariance diagonal. "
+        f"At positions {grid_idx[2]}. Filtering input accordingly"
+    )
+    with pytest.warns(UserWarning, match=expected_warn):
+        OK = OrdinaryKriging(
+            covariance, idx=grid_idx, obs=obs_vals, error_cov=err_cov
+        )
+    assert (OK.idx == grid_idx[:2]).all()
+    assert (OK.obs == obs_vals[:2]).all()
+    assert OK.error_cov.shape == (2, 2)
+
+
+def test_filter_bad_error_cov_values_stochastic(rng):
+    covariance, grid_idx, obs_vals = _setup()
+    err_cov, _ = _rand_error_cov(
+        covariance.shape, grid_idx, rng, with_nan_at=2
+    )
+    with pytest.warns(UserWarning, match="Filtering input accordingly"):
+        SK = StochasticKriging(
+            covariance, idx=grid_idx, obs=obs_vals, error_cov=err_cov
+        )
+    assert (SK.idx == grid_idx[:2]).all()
+    assert SK.error_cov.shape == (2, 2)
+
+
+def test_stochastic_requires_error_cov():
+    covariance, grid_idx, obs_vals = _setup()
+    with pytest.raises(ValueError, match="Error Covariance"):
+        StochasticKriging(covariance, grid_idx, obs_vals, None)
+
+
+def test_prep_obs_for_kriging():
+    from glomargridding_tpu.models.kriging import prep_obs_for_kriging
+
+    unmask_idx = np.array([0, 3, 5, 7, 9])
+    unique_obs_idx = np.array([3, 7])
+    weights = np.array([[0.5, 0.5, 0.0], [0.0, 0.0, 1.0]])
+    obs = np.array([1.0, 3.0, 5.0])
+    obs_idx, grid_obs = prep_obs_for_kriging(
+        unmask_idx, unique_obs_idx, weights, obs
+    )
+    np.testing.assert_array_equal(obs_idx, [1, 3])  # positions of 3 and 7
+    np.testing.assert_allclose(grid_obs, [2.0, 5.0])
+    # mean removal
+    _, demeaned = prep_obs_for_kriging(
+        unmask_idx, unique_obs_idx, weights, obs, remove_obs_mean=1
+    )
+    np.testing.assert_allclose(demeaned, [-1.5, 1.5])
+    with pytest.raises(ValueError):
+        prep_obs_for_kriging(
+            unmask_idx, unique_obs_idx, weights, obs, remove_obs_mean=3
+        )
