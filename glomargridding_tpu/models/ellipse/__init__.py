@@ -1,0 +1,14 @@
+"""Non-stationary covariance via per-gridpoint ellipse parameters."""
+
+from .model import EllipseModel, cov_ij_anisotropic, cov_ij_isotropic
+from .estimate import EllipseBuilder, init_parameter_set
+from .covariance import EllipseCovarianceBuilder
+
+__all__ = [
+    "EllipseBuilder",
+    "EllipseCovarianceBuilder",
+    "EllipseModel",
+    "cov_ij_anisotropic",
+    "cov_ij_isotropic",
+    "init_parameter_set",
+]

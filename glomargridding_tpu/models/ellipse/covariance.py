@@ -1,0 +1,356 @@
+r"""Non-stationary anisotropic covariance assembly (Paciorek-Schervish).
+
+Capability parity with reference ``ellipse/covariance.py``
+(EllipseCovarianceBuilder): assemble the full N x N covariance from
+per-gridpoint ellipse parameter fields via PS06 Eq. 8 / Karspeck Eq. 17:
+
+.. math::
+    c_{ij} = \sigma_i \sigma_j
+        \frac{|\Sigma_i|^{1/4} |\Sigma_j|^{1/4}}{|\bar\Sigma|^{1/2}}
+        \frac{(2\sqrt{\nu}\tau)^\nu K_\nu(2\sqrt{\nu}\tau)}
+             {\Gamma(\nu) 2^{\nu-1}},
+    \qquad \bar\Sigma = \tfrac{\Sigma_i + \Sigma_j}{2},
+
+with :math:`\tau` the Mahalanobis distance of the Met-Office-convention
+displacement under :math:`\bar\Sigma`.
+
+TPU re-design: the reference's three execution strategies (vectorised
+C(N,2) pair list / pure loop / batched pairs, ``covariance.py:226-236``)
+collapse into ONE tiled kernel over (row-block x col-block): per tile,
+displacement -> sigma-bar quadratic form -> K_nu all fuse on the VPU with
+no pair-index lists and no host round-trips. ``covariance_method`` is
+accepted for API parity and only tunes the row-block size.
+"""
+
+import logging
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...constants import RADIUS_OF_EARTH_KM
+from ...ops.distances import sigma_rot_flat
+from ...ops.special import kv
+from ...types import CovarianceMethod, DeltaXMethod
+
+logger = logging.getLogger(__name__)
+
+TWO_PI = 2.0 * math.pi
+
+
+@partial(
+    jax.jit,
+    static_argnames=("v", "delta_x_method", "use_max_dist"),
+)
+def ellipse_covariance_block(
+    lat_i,
+    lon_i,
+    sig_i,
+    sqrt_det_i,
+    stdev_i,
+    lat_j,
+    lon_j,
+    sig_j,
+    sqrt_det_j,
+    stdev_j,
+    v: float,
+    delta_x_method: DeltaXMethod = "Modified_Met_Office",
+    max_dist: float = 0.0,
+    use_max_dist: bool = False,
+):
+    """One (B_i x B_j) tile of the non-stationary covariance.
+
+    lat/lon in radians; `sig_*` holds the flattened Sigma rows
+    (s00, s01, s11) as a (B, 3) array; `sqrt_det_*` = |Sigma|^(1/2);
+    v static. Entries at zero displacement (the diagonal of diagonal
+    tiles) and beyond `max_dist` (haversine km) are 0.
+    """
+    dtype = sig_i.dtype
+    la_i = lat_i[:, None]
+    lo_i = lon_i[:, None]
+    la_j = lat_j[None, :]
+    lo_j = lon_j[None, :]
+
+    dy = la_i - la_j
+    dx = lo_i - lo_j
+    dx = jnp.where(dx > jnp.pi, dx - TWO_PI, dx)
+    dx = jnp.where(dx < -jnp.pi, dx + TWO_PI, dx)
+    if delta_x_method == "Modified_Met_Office":
+        dx = dx * (0.5 * (jnp.cos(la_i) + jnp.cos(la_j)))
+    elif delta_x_method != "Met_Office":
+        raise ValueError(
+            f"Unknown 'delta_x_method' value: {delta_x_method}"
+        )
+    dy = RADIUS_OF_EARTH_KM * dy
+    dx = RADIUS_OF_EARTH_KM * dx
+
+    s00 = 0.5 * (sig_i[:, 0][:, None] + sig_j[:, 0][None, :])
+    s01 = 0.5 * (sig_i[:, 1][:, None] + sig_j[:, 1][None, :])
+    s11 = 0.5 * (sig_i[:, 2][:, None] + sig_j[:, 2][None, :])
+    det_bar = s00 * s11 - s01 * s01
+
+    pref = (stdev_i[:, None] * stdev_j[None, :]) / (
+        math.gamma(v) * (2.0 ** (v - 1.0))
+    )
+    pref = pref * jnp.sqrt(
+        (sqrt_det_i[:, None] * sqrt_det_j[None, :]) / det_bar
+    )
+
+    quad = (
+        dx * (dx * s11 - dy * s01) + dy * (dy * s00 - dx * s01)
+    ) / det_bar
+    tau = jnp.sqrt(jnp.clip(quad, 0.0, None))
+    inner = (2.0 * math.sqrt(v)) * tau
+    corr = jnp.power(inner, v) * kv(v, inner)
+    out = pref * corr
+    # zero displacement (diagonal) and any non-finite garbage -> 0
+    out = jnp.where(inner > 0.0, out, jnp.zeros_like(out))
+    out = jnp.nan_to_num(out, nan=0.0, posinf=0.0, neginf=0.0)
+
+    if use_max_dist:
+        # haversine cutoff
+        a = (
+            jnp.sin((la_i - la_j) / 2.0) ** 2
+            + jnp.cos(la_i)
+            * jnp.cos(la_j)
+            * jnp.sin((lo_i - lo_j) / 2.0) ** 2
+        )
+        dist = (
+            2.0
+            * RADIUS_OF_EARTH_KM
+            * jnp.arcsin(jnp.sqrt(jnp.clip(a, 0.0, 1.0)))
+        )
+        out = jnp.where(dist > max_dist, jnp.zeros_like(out), out)
+    return out.astype(dtype)
+
+
+def build_ellipse_covariance(
+    lats_rad,
+    lons_rad,
+    sig_flat,
+    sqrt_dets,
+    stdevs,
+    v: float,
+    delta_x_method: DeltaXMethod = "Modified_Met_Office",
+    max_dist: float | None = None,
+    row_block: int = 2048,
+):
+    """Assemble the full covariance by row-blocks of the tiled kernel.
+
+    Adds diag(stdev^2) at the end. Memory high-water is
+    row_block x N per launch.
+    """
+    n = len(lats_rad)
+    lats_rad = jnp.asarray(lats_rad)
+    lons_rad = jnp.asarray(lons_rad)
+    sig_flat = jnp.asarray(sig_flat)
+    sqrt_dets = jnp.asarray(sqrt_dets)
+    stdevs = jnp.asarray(stdevs)
+    use_md = max_dist is not None
+
+    if n <= row_block:
+        cov = ellipse_covariance_block(
+            lats_rad, lons_rad, sig_flat, sqrt_dets, stdevs,
+            lats_rad, lons_rad, sig_flat, sqrt_dets, stdevs,
+            v=v,
+            delta_x_method=delta_x_method,
+            max_dist=0.0 if max_dist is None else float(max_dist),
+            use_max_dist=use_md,
+        )
+        cov = cov + jnp.diag(stdevs**2)
+        return cov
+
+    blocks = []
+    # pad to a whole number of row blocks so every launch shares a shape
+    for start in range(0, n, row_block):
+        stop = min(start + row_block, n)
+        sl = slice(start, stop)
+        blocks.append(
+            ellipse_covariance_block(
+                lats_rad[sl], lons_rad[sl], sig_flat[sl],
+                sqrt_dets[sl], stdevs[sl],
+                lats_rad, lons_rad, sig_flat, sqrt_dets, stdevs,
+                v=v,
+                delta_x_method=delta_x_method,
+                max_dist=0.0 if max_dist is None else float(max_dist),
+                use_max_dist=use_md,
+            )
+        )
+    cov = jnp.concatenate(blocks, axis=0)
+    return cov + jnp.diag(stdevs**2)
+
+
+class EllipseCovarianceBuilder:
+    """Covariance from ellipse parameter fields and positions.
+
+    Valid (unmasked) points only enter the matrix; `max_dist` (haversine
+    km) zeroes covariance beyond the radius; `precision` defaults to
+    float32 (memory-driven, like the reference). `covariance_method`
+    ("array" / "batched" / "low_memory") is accepted for API parity — all
+    three run the same tiled device kernel, the value only selects the
+    row-block size (whole-matrix / `batch_size` rows / 512 rows).
+
+    Sets `cov_ns`; `calculate_cor` adds `cor_ns`; `uncompress_cov`
+    re-inflates to the full grid with fill values.
+    (Parity: reference ``ellipse/covariance.py:40-509``.)
+    """
+
+    def __init__(
+        self,
+        Lx,
+        Ly,
+        theta,
+        stdev,
+        lats,
+        lons,
+        v: float,
+        delta_x_method: DeltaXMethod | None = "Modified_Met_Office",
+        max_dist: float | None = None,
+        precision=np.float32,
+        covariance_method: CovarianceMethod = "array",
+        batch_size: int | None = None,
+    ) -> None:
+        if max_dist is not None and not isinstance(max_dist, (int, float)):
+            raise ValueError("max_dist must be a number")
+        if delta_x_method not in ("Met_Office", "Modified_Met_Office"):
+            raise ValueError(
+                f"Unknown 'delta_x_method' value: {delta_x_method}"
+            )
+
+        self.v = float(v)
+        self.precision = precision
+        self.Lx = np.ma.MaskedArray(np.asarray(Lx, dtype=precision))
+        self.Ly = np.ma.MaskedArray(np.asarray(Ly, dtype=precision))
+        self.theta = np.ma.MaskedArray(np.asarray(theta, dtype=precision))
+        self.stdev = np.ma.MaskedArray(np.asarray(stdev, dtype=precision))
+        if isinstance(Lx, np.ma.MaskedArray):
+            self.Lx = np.ma.MaskedArray(
+                np.asarray(np.ma.getdata(Lx), precision), np.ma.getmaskarray(Lx)
+            )
+            self.Ly = np.ma.MaskedArray(
+                np.asarray(np.ma.getdata(Ly), precision), np.ma.getmaskarray(Ly)
+            )
+            self.theta = np.ma.MaskedArray(
+                np.asarray(np.ma.getdata(theta), precision),
+                np.ma.getmaskarray(theta),
+            )
+            self.stdev = np.ma.MaskedArray(
+                np.asarray(np.ma.getdata(stdev), precision),
+                np.ma.getmaskarray(stdev),
+            )
+        self.max_dist = max_dist
+        self.delta_x_method = delta_x_method
+        self.lats = np.asarray(lats, dtype=precision)
+        self.lons = np.asarray(lons, dtype=precision)
+        self.covariance_method: CovarianceMethod = covariance_method
+        self.batch_size = batch_size
+
+        self.xy_shape = self.Lx.shape
+        self.n_elements = int(np.prod(self.xy_shape))
+
+        self._get_mask()
+        self._calculate_covariance()
+
+    def _get_mask(self) -> None:
+        self.data_has_mask = bool(np.ma.getmaskarray(self.Lx).any())
+        self.data_mask = np.ma.getmaskarray(self.Lx)
+        self.covar_size = int(np.sum(~self.data_mask))
+
+        self.Lx_compressed = self.Lx.compressed()
+        self.Ly_compressed = self.Ly.compressed()
+        self.theta_compressed = self.theta.compressed()
+        self.stdev_compressed = self.stdev.compressed()
+
+        self.x_grid, self.y_grid = np.meshgrid(self.lons, self.lats)
+        self.x_mask = np.ma.masked_where(self.data_mask, self.x_grid)
+        self.y_mask = np.ma.masked_where(self.data_mask, self.y_grid)
+        self.lat_grid_compressed = self.y_mask.compressed()
+        self.lon_grid_compressed = self.x_mask.compressed()
+        self.lat_grid_compressed_rad = np.deg2rad(self.lat_grid_compressed)
+        self.lon_grid_compressed_rad = np.deg2rad(self.lon_grid_compressed)
+
+        self.xy_compressed = np.column_stack(
+            [self.lon_grid_compressed, self.lat_grid_compressed]
+        )
+        self.xy_full = np.column_stack(
+            [self.x_mask.flatten(), self.y_mask.flatten()]
+        )
+
+    def _row_block(self) -> int:
+        n = len(self.Lx_compressed)
+        match self.covariance_method:
+            case "array":
+                return max(n, 1)
+            case "batched":
+                if self.batch_size is None:
+                    raise ValueError(
+                        "batch_size must be set if using 'batched' method"
+                    )
+                return max(1, int(self.batch_size))
+            case "low_memory":
+                return 512
+            case _:
+                raise ValueError(
+                    f"Unknown covariance_method: {self.covariance_method}"
+                )
+
+    def _calculate_covariance(self) -> None:
+        # Precompute flattened Sigma rows, sqrt determinants, gamma terms.
+        s00, s01, _, s11 = sigma_rot_flat(
+            jnp.asarray(self.Lx_compressed),
+            jnp.asarray(self.Ly_compressed),
+            jnp.asarray(self.theta_compressed),
+        )
+        sig_flat = jnp.stack([s00, s01, s11], axis=-1)
+        dets = s00 * s11 - s01 * s01
+        sqrt_dets = jnp.sqrt(dets)
+        # parity attributes (reference keeps 1x4 rows)
+        self.sigmas = np.column_stack(
+            [
+                np.asarray(s00),
+                np.asarray(s01),
+                np.asarray(s01),
+                np.asarray(s11),
+            ]
+        ).astype(self.precision)
+        self.sqrt_dets = np.asarray(sqrt_dets)
+        self.gamma_v_term = math.gamma(self.v) * (2 ** (self.v - 1))
+        self.sqrt_v_term = math.sqrt(self.v) * 2
+
+        cov = build_ellipse_covariance(
+            jnp.asarray(self.lat_grid_compressed_rad, self.precision),
+            jnp.asarray(self.lon_grid_compressed_rad, self.precision),
+            sig_flat.astype(self.precision),
+            sqrt_dets.astype(self.precision),
+            jnp.asarray(self.stdev_compressed, self.precision),
+            v=self.v,
+            delta_x_method=self.delta_x_method,
+            max_dist=self.max_dist,
+            row_block=self._row_block(),
+        )
+        self.cov_ns = np.asarray(cov, dtype=self.precision)
+        logger.info("Covariance assembled: %s", self.cov_ns.shape)
+
+    def calculate_cor(self) -> None:
+        """Correlation matrix from the covariance matrix."""
+        from ...utils.arrays import cov_2_cor
+
+        self.cor_ns = np.asarray(cov_2_cor(self.cov_ns))
+
+    def uncompress_cov(
+        self, diag_fill_value=np.nan, fill_value=np.nan
+    ) -> None:
+        """Re-inflate cov_ns to full-grid size with fill values."""
+        if not np.sum(~self.data_mask) == self.cov_ns.shape[0]:
+            raise ValueError("Data mask and coordinates cannot be aligned")
+        fmask = np.logical_or.outer(
+            self.data_mask.flatten(), self.data_mask.flatten()
+        )
+        uncompressed = np.full(
+            fmask.shape, fill_value=fill_value, dtype=self.precision
+        )
+        np.fill_diagonal(uncompressed, diag_fill_value)
+        uncompressed[~fmask] = self.cov_ns.flatten()
+        self.cov_ns = uncompressed

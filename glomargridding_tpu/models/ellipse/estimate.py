@@ -1,0 +1,508 @@
+r"""Ellipse parameter estimation from a (time, lat, lon) training cube.
+
+Capability parity with reference ``ellipse/estimate.py`` (EllipseBuilder:
+empirical covariance/correlation, per-gridpoint training-set selection,
+MLE ellipse fits with QC codes, whole-grid parameter fields), re-designed
+for TPU:
+
+- the empirical covariance X'X/(T-1) is one MXU matmul;
+- per-gridpoint training-set selection is a *mask*, not a gather: every
+  point keeps a fixed-length (N,) row of displacements/correlations with
+  0/1 weights, so all fits share one compiled program;
+- ``compute_params`` fits ALL unmasked grid points with the batched
+  Nelder-Mead — the reference's sequential scipy loop
+  (``estimate.py:691-713``, its 58 s hotspot) becomes a handful of
+  device launches (row-chunked to bound memory).
+"""
+
+import math
+from typing import Any
+from warnings import warn
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...constants import RADIUS_OF_EARTH_KM
+from ...core.labeled import Coordinates, DataArray, Dataset
+from ...ops.distances import displacements, haversine_matrix
+from ...ops.optim import batched_nelder_mead
+from ...types import DeltaXMethod
+from ...utils.arrays import cov_2_cor, uncompress_masked
+from .model import EllipseModel
+
+
+class EllipseBuilder:
+    """Build spatial covariance/correlation and fit ellipse parameters.
+
+    `data_array` is a (time, lat, lon) cube (numpy or numpy.ma masked;
+    NaNs also count as masked). `coords` must contain "time", "latitude",
+    "longitude" with time as dimension 0. Points masked at ANY time are
+    dropped (parity: reference ``estimate.py:119-149``).
+    """
+
+    def __init__(self, data_array: np.ndarray, coords) -> None:
+        if isinstance(data_array, np.ma.MaskedArray):
+            self.data = data_array
+        else:
+            self.data = np.ma.MaskedArray(data_array)
+        self.coords = coords
+        self.xy_shape = self.data[0].shape
+        if len(self.xy_shape) != 2:
+            raise ValueError(
+                "Time slice maps should be 2D; check extra dims (ensemble?)"
+            )
+        self.big_covar_size = int(np.prod(self.xy_shape))
+
+        self._parse_coords()
+        self._detect_mask()
+        self.calc_cov()
+
+    # -- setup ---------------------------------------------------------------
+    def _parse_coords(self) -> None:
+        names = list(self.coords.keys())
+        if "time" not in names:
+            raise ValueError("Input cube needs a time dimension")
+        if names.index("time") != 0:
+            raise ValueError("Input cube time dimension not at 0")
+        missing = [
+            c for c in ("latitude", "longitude") if c not in names
+        ]
+        if missing:
+            raise ValueError(
+                "Input cube need two spatial dimensions "
+                "('latitude' and 'longitude')"
+            )
+        lons = np.asarray(self.coords["longitude"])
+        lats = np.asarray(self.coords["latitude"])
+        self.xx, self.yy = np.meshgrid(lons, lats)
+        self.xi, self.yi = np.meshgrid(
+            np.arange(len(lons)), np.arange(len(lats))
+        )
+        self.time_n = len(np.asarray(self.coords["time"]))
+
+    def _detect_mask(self) -> None:
+        nan_mask = np.isnan(np.ma.getdata(self.data))
+        base_mask = np.ma.getmaskarray(self.data) | nan_mask
+        self.data = np.ma.masked_where(base_mask, self.data)
+        self.data_has_mask = bool(base_mask.any())
+        if self.data_has_mask:
+            # time-varying masks (sea ice): any-time-masked -> dropped
+            self.mask = np.any(base_mask, axis=0)
+            self.mask_1D = self.mask.flatten()
+            self._self_mask()
+            self.small_covar_size = int(np.sum(~self.mask))
+        else:
+            self.mask = np.zeros_like(self.data[0], dtype=bool)
+            self.mask_1D = self.mask.flatten()
+            self.small_covar_size = self.big_covar_size
+        self.x_masked = np.ma.masked_where(self.mask, self.xx)
+        self.y_masked = np.ma.masked_where(self.mask, self.yy)
+        self.xi_masked = np.ma.masked_where(self.mask, self.xi).compressed()
+        self.yi_masked = np.ma.masked_where(self.mask, self.yi).compressed()
+        self.xy_masked = np.column_stack(
+            [self.x_masked.compressed(), self.y_masked.compressed()]
+        )
+        self.xy_full = np.column_stack(
+            [self.x_masked.flatten(), self.y_masked.flatten()]
+        )
+
+    def _self_mask(self) -> None:
+        broadcasted = np.broadcast_to(self.mask, self.data.shape)
+        self.data = np.ma.masked_where(broadcasted, self.data)
+
+    def calc_cov(self, rounding: int | None = None) -> None:
+        """Empirical covariance/correlation over time — one MXU matmul.
+
+        cov = X'X/(T-1) with the temporal mean removed, over unmasked
+        points only (parity: reference ``estimate.py:151-180``).
+        """
+        flat = self.data.reshape((self.time_n, self.big_covar_size))
+        kept = np.ma.getdata(flat)[:, ~self.mask_1D]
+        x = jnp.asarray(kept)
+        x = x - jnp.mean(x, axis=0, keepdims=True)
+        cov = (x.T @ x) / (self.time_n - 1)
+        if rounding is not None:
+            cov = jnp.round(cov, rounding)
+        self.cov = np.asarray(cov)
+        self.cor = np.asarray(cov_2_cor(cov, rounding=rounding))
+
+    # -- training data (parity helper; batched path builds masks inline) ----
+    def _train_geometry(
+        self,
+        centre_sel,
+        min_distance: float,
+        max_distance: float,
+        anisotropic: bool,
+        delta_x_method: DeltaXMethod | None,
+        physical_distance: bool,
+        physical_distance_selection: bool,
+    ):
+        """Displacements/selection geometry for a batch of centre points.
+
+        Returns (X, weights): X is (B, N, 2) for anisotropic models or
+        (B, N) distances for isotropic ones; weights the (B, N) 0/1
+        selection mask — replicating the three selection regimes of
+        reference ``estimate.py:424-513``.
+        """
+        if physical_distance and (delta_x_method is None):
+            raise ValueError(
+                "Cannot have physical_distance with unset delta_x_method"
+            )
+        lats_all = jnp.asarray(self.xy_masked[:, 1])
+        lons_all = jnp.asarray(self.xy_masked[:, 0])
+        lat_c = lats_all[centre_sel]
+        lon_c = lons_all[centre_sel]
+
+        # displacement from every point to each centre: (N, B) -> (B, N)
+        dy, dx = displacements(
+            lats_all, lons_all, lat_c, lon_c, delta_x_method=delta_x_method
+        )
+        dy = dy.T
+        dx = dx.T
+
+        if delta_x_method is None or not physical_distance_selection:
+            if delta_x_method is not None:
+                dyd, dxd = displacements(
+                    lats_all, lons_all, lat_c, lon_c, delta_x_method=None
+                )
+                deg_distance = jnp.sqrt(dxd.T**2 + dyd.T**2)
+            else:
+                deg_distance = jnp.sqrt(dx**2 + dy**2)
+            weights = (
+                (deg_distance <= max_distance)
+                & (deg_distance >= min_distance)
+                & (deg_distance != 0.0)
+            ).astype(dy.dtype)
+            if anisotropic:
+                X = jnp.stack([dx, dy], axis=-1)
+                if physical_distance:
+                    X = X * RADIUS_OF_EARTH_KM
+                return X, weights
+            if physical_distance:
+                dist = haversine_matrix(lat_c, lon_c, lats_all, lons_all)
+                return dist, weights
+            return deg_distance, weights
+
+        dist = haversine_matrix(lat_c, lon_c, lats_all, lons_all)  # (B, N)
+        weights = (
+            (dist <= max_distance)
+            & (dist >= min_distance)
+            & (dist != 0.0)
+        ).astype(dy.dtype)
+        if anisotropic:
+            X = RADIUS_OF_EARTH_KM * jnp.stack([dx, dy], axis=-1)
+            return X, weights
+        return dist, weights
+
+    def _get_train_data(
+        self,
+        xy_point: int,
+        min_distance: float,
+        max_distance: float,
+        anisotropic: bool,
+        delta_x_method: DeltaXMethod | None,
+        physical_distance: bool = True,
+        physical_distance_selection: bool = True,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(X_train, y_train) for one centre point (reference-shaped)."""
+        X, w = self._train_geometry(
+            jnp.asarray([xy_point]),
+            min_distance,
+            max_distance,
+            anisotropic,
+            delta_x_method,
+            physical_distance,
+            physical_distance_selection,
+        )
+        sel = np.asarray(w[0]) > 0
+        y = self.cor[xy_point, :][sel]
+        X0 = np.asarray(X[0])
+        return (X0[sel, :] if anisotropic else X0[sel]), y
+
+    # -- fitting --------------------------------------------------------------
+    def fit_ellipse_model(
+        self,
+        xy_point: int,
+        matern_ellipse: EllipseModel,
+        max_distance: float = 6000,
+        min_distance: float = 0.3,
+        delta_x_method: DeltaXMethod | None = "Modified_Met_Office",
+        guesses=None,
+        bounds=None,
+        opt_method: str = "Nelder-Mead",
+        tol: float = 0.001,
+        estimate_SE: str | None = None,
+        n_jobs: int | None = None,
+        n_sim: int = 500,
+        physical_distance_selection: bool = True,
+    ) -> dict[str, Any] | None:
+        """Fit the ellipse model at one grid point.
+
+        Returns a dict with the fitted parameters (ModelParams ordered as
+        the model's supercategory fields), QC code, iteration count,
+        standard deviation, and the observed correlation map — or None
+        when no training data falls in the distance window (parity:
+        reference ``estimate.py:187-400``).
+        """
+        R2 = uncompress_masked(
+            self.cor[xy_point, :], self.mask_1D, fill_value=np.nan
+        ).reshape(self.xy_shape)
+
+        X_train, y_train = self._get_train_data(
+            xy_point=xy_point,
+            min_distance=min_distance,
+            max_distance=max_distance,
+            anisotropic=matern_ellipse.anisotropic,
+            delta_x_method=delta_x_method,
+            physical_distance=matern_ellipse.physical_distance,
+            physical_distance_selection=physical_distance_selection,
+        )
+        if len(y_train) == 0:
+            warn(f"No training data for idx {xy_point}")
+            return None
+
+        results, SE, bounds_out = matern_ellipse.fit(
+            X_train,
+            y_train,
+            guesses=guesses,
+            bounds=bounds,
+            opt_method=opt_method,
+            tol=tol,
+            estimate_SE=estimate_SE,
+            n_sim=n_sim,
+        )
+
+        model_params = np.asarray(results.x).tolist()
+        self._check_params(matern_ellipse, model_params)
+
+        stdev = None
+        if not matern_ellipse.unit_sigma:
+            stdev = model_params.pop()
+
+        if bool(results.success):
+            fit_success = _get_fit_score(
+                model_params, bounds_out, int(results.nit)
+            )
+        else:
+            fit_success = 9
+
+        std_dev = float(np.sqrt(self.cov[xy_point, xy_point]))
+        model_params.append(std_dev)
+        model_params.append(fit_success)
+        model_params.append(int(results.nit))
+
+        return {
+            "Correlation": R2,
+            "Results": results,
+            "ModelParams": model_params,
+            "Success": fit_success,
+            "StandardDeviation": std_dev,
+            "StandardError": SE,
+            "RMSE": stdev,
+        }
+
+    def _check_params(self, ellipse: EllipseModel, model_params) -> None:
+        """Canonicalise: ensure Lx >= Ly and theta in (-pi, pi] (in place).
+
+        Note: the reference applies the +pi/2 rotation on a Lx/Ly swap
+        unconditionally for anisotropic models (``estimate.py:402-422``),
+        which for the un-rotated 2-parameter form would corrupt the
+        appended likelihood-sigma slot; here the rotation adjustment only
+        applies to rotated models.
+        """
+        if ellipse.anisotropic and model_params[1] > model_params[0]:
+            model_params[0], model_params[1] = (
+                model_params[1],
+                model_params[0],
+            )
+            if ellipse.rotated:
+                model_params[2] += np.pi / 2
+        if not ellipse.rotated:
+            return
+        if model_params[2] > np.pi:
+            model_params[2] -= np.pi
+        if model_params[2] <= -np.pi:
+            model_params[2] += np.pi
+
+    def compute_params(
+        self,
+        default_value: Any,
+        matern_ellipse: EllipseModel,
+        max_distance: float = 6000,
+        min_distance: float = 0.3,
+        delta_x_method: DeltaXMethod | None = "Modified_Met_Office",
+        guesses=None,
+        bounds=None,
+        opt_method: str = "Nelder-Mead",
+        tol: float = 1e-4,
+        estimate_SE: str | None = None,
+        n_jobs: int | None = None,
+        n_sim: int = 500,
+        physical_distance_selection: bool = True,
+        chunk_size: int = 1024,
+    ) -> Dataset:
+        """Fit ellipses at ALL unmasked grid points — batched on device.
+
+        One compiled program fits `chunk_size` points at a time with the
+        vmapped Nelder-Mead; the sequential per-point scipy loop of the
+        reference collapses into ceil(N/chunk) device launches. Returns a
+        Dataset of parameter fields (qc_code semantics: 0 ok / 1 lower
+        bound / 2 upper bound / 3 multiple bounds / 9 no convergence or
+        no training data).
+        """
+        if opt_method != "Nelder-Mead":
+            raise ValueError("Only Nelder-Mead is supported")
+        coords = Coordinates(
+            {
+                "latitude": np.asarray(self.coords["latitude"]),
+                "longitude": np.asarray(self.coords["longitude"]),
+            }
+        )
+        param_names = matern_ellipse.supercategory_params
+        params = init_parameter_set(
+            coords, parameters=param_names, default_value=default_value
+        )
+
+        n_points = len(self.xi_masked)
+        if n_points == 0:
+            return params
+
+        x0_single, (lo, hi), bounds_out = matern_ellipse._fit_setup(
+            guesses, bounds
+        )
+        d = x0_single.shape[0]
+        cor_dev = jnp.asarray(self.cor)
+
+        def fun(p, X_i, y_i, w_i):
+            return matern_ellipse.nll(p, X_i, y_i, weights=w_i)
+
+        all_x = []
+        all_nit = []
+        all_success = []
+        all_has_data = []
+        for start in range(0, n_points, chunk_size):
+            stop = min(start + chunk_size, n_points)
+            sel = np.arange(start, stop)
+            pad = 0
+            if stop - start < chunk_size and n_points > chunk_size:
+                pad = chunk_size - (stop - start)
+                sel = np.concatenate([sel, np.full(pad, start)])
+            sel_dev = jnp.asarray(sel)
+
+            X, w = self._train_geometry(
+                sel_dev,
+                min_distance,
+                max_distance,
+                matern_ellipse.anisotropic,
+                delta_x_method,
+                matern_ellipse.physical_distance,
+                physical_distance_selection,
+            )
+            y = cor_dev[sel_dev, :]
+            x0 = jnp.broadcast_to(x0_single, (len(sel), d))
+
+            res = batched_nelder_mead(
+                fun, x0, (X, y, w), (lo, hi), xatol=tol, fatol=tol
+            )
+            has_data = np.asarray(jnp.sum(w, axis=1) > 0)
+            n_keep = stop - start
+            all_x.append(np.asarray(res.x)[:n_keep])
+            all_nit.append(np.asarray(res.nit)[:n_keep])
+            all_success.append(np.asarray(res.success)[:n_keep])
+            all_has_data.append(has_data[:n_keep])
+
+        fitted = np.concatenate(all_x, axis=0)
+        nits = np.concatenate(all_nit)
+        successes = np.concatenate(all_success)
+        has_data = np.concatenate(all_has_data)
+
+        names = list(param_names.keys())
+        for i in range(n_points):
+            if not has_data[i]:
+                warn(f"No training data for idx {i}")
+                continue
+            model_params = fitted[i].tolist()
+            self._check_params(matern_ellipse, model_params)
+            if not matern_ellipse.unit_sigma:
+                model_params.pop()
+            fit_success = (
+                _get_fit_score(model_params, bounds_out, int(nits[i]))
+                if successes[i]
+                else 9
+            )
+            model_params.append(float(np.sqrt(self.cov[i, i])))
+            model_params.append(fit_success)
+            model_params.append(int(nits[i]))
+            gi, gj = self.xi_masked[i], self.yi_masked[i]
+            for name, value in zip(names, model_params):
+                params[name].values[gj, gi] = value
+
+        return params
+
+    # -- lookups ---------------------------------------------------------------
+    def find_nearest_xy_index_in_cov_matrix(
+        self, lonlat, use_full: bool = False
+    ) -> tuple[int, np.ndarray]:
+        """Nearest covariance row/column index for a (lon, lat) position."""
+        lon, lat, *_ = lonlat
+        a = self.xy_full if use_full else self.xy_masked
+        idx = int(((a[:, 0] - lon) ** 2.0 + (a[:, 1] - lat) ** 2.0).argmin())
+        return idx, a[idx, :]
+
+    def _xy_2_xy_full_index(self, xy_point: int) -> int:
+        """Index within the full (uncompressed) flattened grid."""
+        return int(
+            np.argwhere(
+                np.all(
+                    (self.xy_full - self.xy_masked[xy_point, :]) == 0,
+                    axis=1,
+                )
+            )[0]
+        )
+
+    def __str__(self) -> str:
+        return str(self.__class__)
+
+
+def _get_fit_score(model_params, bounds, niter) -> int:
+    """QC code: 0 ok, 1 lower bound hit, 2 upper, 3 multiple, 9 fail."""
+    fit_success = 0
+    for model_param, bb in zip(model_params, bounds):
+        left = math.isclose(model_param, bb[0], rel_tol=0.01)
+        right = math.isclose(model_param, bb[1], rel_tol=0.01)
+        if left:
+            fit_success = 1 if fit_success == 0 else 3
+        if right:
+            fit_success = 2 if fit_success == 0 else 3
+    return fit_success
+
+
+def init_parameter_set(
+    coords, parameters: dict[str, str], default_value: Any = np.nan
+) -> Dataset:
+    """Initialise the (lat, lon) parameter fields for an ellipse model.
+
+    `parameters` maps field name -> unit; `default_value` is scalar or a
+    per-field list (parity: reference ``estimate.py:779-821``).
+    """
+    from ...utils.arrays import is_iter
+
+    if not is_iter(default_value):
+        default_value = [default_value] * len(parameters)
+    if len(default_value) != len(parameters):
+        raise ValueError(
+            "Cannot set 6 default values for input default values"
+        )
+    if not isinstance(coords, Coordinates):
+        coords = Coordinates({k: np.asarray(v) for k, v in coords.items()})
+    shape = coords.shape
+    params = Dataset({}, coords)
+    for i, (name, unit) in enumerate(parameters.items()):
+        params[name] = DataArray(
+            np.full(shape, default_value[i], dtype=float),
+            coords,
+            name=name,
+            attrs={"units": unit},
+        )
+    return params

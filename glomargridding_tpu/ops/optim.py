@@ -1,0 +1,190 @@
+r"""Batched bounded Nelder-Mead in pure JAX.
+
+The reference fits one ellipse per grid point with
+``scipy.optimize.minimize(method="Nelder-Mead")`` inside a sequential
+Python loop (its dominant cost: 58 s for a 5-degree global ocean grid).
+Here the same simplex algorithm is written with ``lax.while_loop`` and
+static shapes so a single ``jax.vmap`` fits EVERY grid point at once —
+one device program, thousands of simplexes marching in lock-step on the
+VPU.
+
+Semantics follow scipy's implementation: same initial-simplex rule
+(1.05x nonzero / 0.00025 for zero entries), same reflect / expand /
+contract / shrink coefficients (1, 2, 0.5, 0.5), same termination test
+(max |f_i - f_0| <= fatol AND max |x_i - x_0| <= xatol), same default
+``maxiter = 200 * n``, and bounds handled by clipping candidate points
+into the box. Results are not bit-identical to scipy (branch arithmetic
+is vectorised) but converge to the same optima within test tolerances —
+the reference's own round-trip tests are the oracle.
+"""
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+class NMResult(NamedTuple):
+    """Result of a Nelder-Mead minimisation."""
+
+    x: jax.Array  # (d,) best point
+    fun: jax.Array  # scalar best value
+    nit: jax.Array  # iterations executed
+    success: jax.Array  # bool: converged within maxiter
+
+
+def _initial_simplex(x0, lo, hi):
+    """scipy-style initial simplex, clipped into bounds."""
+    d = x0.shape[0]
+    nonzdelt = 0.05
+    zdelt = 0.00025
+    base = jnp.broadcast_to(x0, (d, d))
+    step = jnp.where(x0 == 0.0, zdelt, nonzdelt * x0)
+    pts = base + jnp.diag(step)
+    simplex = jnp.concatenate([x0[None, :], pts], axis=0)
+    return jnp.clip(simplex, lo, hi)
+
+
+def nelder_mead(
+    fun: Callable,
+    x0,
+    bounds: tuple | None = None,
+    xatol: float = 1e-4,
+    fatol: float = 1e-4,
+    maxiter: int | None = None,
+) -> NMResult:
+    """Minimise `fun(x)` (scalar) from `x0` with bounded Nelder-Mead.
+
+    Fully traceable: wrap in ``jax.vmap`` to run a batch of independent
+    problems, or ``jax.jit`` for a single one. `bounds` is a
+    (lower, upper) pair of length-d arrays (or None for unbounded).
+    """
+    x0 = jnp.asarray(x0)
+    d = x0.shape[0]
+    if maxiter is None:
+        maxiter = 200 * d
+    if bounds is None:
+        lo = jnp.full((d,), -jnp.inf, x0.dtype)
+        hi = jnp.full((d,), jnp.inf, x0.dtype)
+    else:
+        lo = jnp.asarray(bounds[0], x0.dtype)
+        hi = jnp.asarray(bounds[1], x0.dtype)
+
+    simplex = _initial_simplex(x0, lo, hi)
+    fvals = jax.vmap(fun)(simplex)
+
+    def cond(state):
+        simplex, fvals, nit = state
+        order = jnp.argsort(fvals)
+        fs = fvals[order]
+        xs = simplex[order]
+        f_spread = jnp.max(jnp.abs(fs[1:] - fs[0]))
+        x_spread = jnp.max(jnp.abs(xs[1:] - xs[0]))
+        converged = (f_spread <= fatol) & (x_spread <= xatol)
+        return (~converged) & (nit < maxiter)
+
+    def body(state):
+        simplex, fvals, nit = state
+        order = jnp.argsort(fvals)
+        simplex = simplex[order]
+        fvals = fvals[order]
+
+        centroid = jnp.mean(simplex[:-1], axis=0)
+        xw = simplex[-1]
+        fw = fvals[-1]
+        fb = fvals[0]
+        fsw = fvals[-2]
+        direction = centroid - xw
+
+        xr = jnp.clip(centroid + direction, lo, hi)
+        xe = jnp.clip(centroid + 2.0 * direction, lo, hi)
+        xoc = jnp.clip(centroid + 0.5 * direction, lo, hi)
+        xic = jnp.clip(centroid - 0.5 * direction, lo, hi)
+        fr = fun(xr)
+        fe = fun(xe)
+        foc = fun(xoc)
+        fic = fun(xic)
+
+        # scipy decision tree, arithmetic form
+        take_expand = (fr < fb) & (fe < fr)
+        take_reflect = ((fr < fb) & ~(fe < fr)) | (
+            (fr >= fb) & (fr < fsw)
+        )
+        outside = (fr >= fsw) & (fr < fw)
+        take_oc = outside & (foc <= fr)
+        inside = fr >= fw
+        take_ic = inside & (fic < fw)
+        shrink = (outside & ~(foc <= fr)) | (inside & ~(fic < fw))
+
+        cand_x = jnp.where(
+            take_expand,
+            xe,
+            jnp.where(
+                take_reflect, xr, jnp.where(take_oc, xoc, xic)
+            ),
+        )
+        cand_f = jnp.where(
+            take_expand,
+            fe,
+            jnp.where(
+                take_reflect, fr, jnp.where(take_oc, foc, fic)
+            ),
+        )
+
+        replaced_simplex = simplex.at[-1].set(cand_x)
+        replaced_fvals = fvals.at[-1].set(cand_f)
+
+        shrunk_simplex = jnp.clip(
+            simplex[0][None, :] + 0.5 * (simplex - simplex[0][None, :]),
+            lo,
+            hi,
+        )
+        shrunk_fvals = jax.vmap(fun)(shrunk_simplex)
+
+        new_simplex = jnp.where(shrink, shrunk_simplex, replaced_simplex)
+        new_fvals = jnp.where(shrink, shrunk_fvals, replaced_fvals)
+        return new_simplex, new_fvals, nit + 1
+
+    simplex, fvals, nit = lax.while_loop(
+        cond, body, (simplex, fvals, jnp.asarray(0))
+    )
+    best = jnp.argmin(fvals)
+    order = jnp.argsort(fvals)
+    fs = fvals[order]
+    xs = simplex[order]
+    f_spread = jnp.max(jnp.abs(fs[1:] - fs[0]))
+    x_spread = jnp.max(jnp.abs(xs[1:] - xs[0]))
+    success = (f_spread <= fatol) & (x_spread <= xatol)
+    return NMResult(simplex[best], fvals[best], nit, success)
+
+
+@partial(jax.jit, static_argnames=("fun", "xatol", "fatol", "maxiter"))
+def batched_nelder_mead(
+    fun,
+    x0,
+    args,
+    bounds,
+    xatol: float = 1e-4,
+    fatol: float = 1e-4,
+    maxiter: int | None = None,
+) -> NMResult:
+    """vmap Nelder-Mead over a batch of problems.
+
+    `fun(x, *args_i)` is minimised per batch element; `x0` is (B, d) and
+    each element of `args` has leading batch dimension B. `bounds` is a
+    (lo, hi) pair of (d,) arrays shared across the batch.
+    """
+
+    def solve_one(x0_i, *args_i):
+        return nelder_mead(
+            lambda x: fun(x, *args_i),
+            x0_i,
+            bounds=bounds,
+            xatol=xatol,
+            fatol=fatol,
+            maxiter=maxiter,
+        )
+
+    return jax.vmap(solve_one)(x0, *args)

@@ -1,0 +1,370 @@
+"""Ellipse package tests: oracle vs stored independent result plus
+statistical round-trip self-consistency (reference test_ellipse idioms)."""
+
+import numpy as np
+import pytest
+
+from glomargridding_tpu.core.labeled import Coordinates
+from glomargridding_tpu.io import open_dataset
+from glomargridding_tpu.models.ellipse import (
+    EllipseBuilder,
+    EllipseCovarianceBuilder,
+    EllipseModel,
+)
+from glomargridding_tpu.ops.covariance_tools import eigenvalue_clip
+from glomargridding_tpu.utils.arrays import cov_2_cor, uncompress_masked
+
+from conftest import reference_data_path, requires_reference_data
+
+
+def frob(mat):
+    return float(np.linalg.norm(mat, ord="fro"))
+
+
+def correlation_distance(cov1, cov2):
+    cor1 = cov_2_cor(cov1)
+    cor2 = cov_2_cor(cov2)
+    num = np.trace(cor1 @ cor2)
+    return 1 - num / (frob(cor1) * frob(cor2))
+
+
+def _atlantic_subset():
+    ds = open_dataset(reference_data_path("Atlantic_Ocean_07.nc"))
+    sl = (slice(50, 70), slice(50, 70))
+    Lxs = ds["lx"].values[sl]
+    Lys = ds["ly"].values[sl]
+    thetas = ds["theta"].values[sl]
+    stdevs = ds["standard_deviation"].values[sl]
+    lats = np.asarray(ds.coords["latitude"])[sl[0]]
+    lons = np.asarray(ds.coords["longitude"])[sl[1]]
+    mask = Lxs > 1e5
+    return Lxs, Lys, thetas, stdevs, lats, lons, mask
+
+
+@requires_reference_data
+def test_ellipse_covariance_oracle():
+    """Covariance matches the stored result of an independent
+    implementation (reference test data cov_no_hfix.nc)."""
+    Lxs, Lys, thetas, stdevs, lats, lons, mask = _atlantic_subset()
+    expected = open_dataset(reference_data_path("cov_no_hfix.nc"))[
+        "covariance"
+    ].values
+
+    builder = EllipseCovarianceBuilder(
+        np.ma.masked_where(mask, Lxs),
+        np.ma.masked_where(mask, Lys),
+        np.ma.masked_where(mask, thetas),
+        np.ma.masked_where(mask, stdevs),
+        lats,
+        lons,
+        v=0.5,
+    )
+    assert builder.cov_ns.shape == expected.shape
+    cmd = correlation_distance(builder.cov_ns, expected)
+    assert cmd < 1e-4
+    np.testing.assert_allclose(builder.cov_ns, expected, rtol=1e-5, atol=1e-7)
+
+    builder.calculate_cor()
+    assert hasattr(builder, "cor_ns")
+    assert np.isclose(1, np.max(np.diag(builder.cor_ns)))
+
+
+@requires_reference_data
+def test_ellipse_covariance_methods_agree():
+    """array / batched / low_memory strategies produce one result (they
+    share the tiled kernel; this pins the row-blocking logic)."""
+    Lxs, Lys, thetas, stdevs, lats, lons, mask = _atlantic_subset()
+
+    def build(**kw):
+        return EllipseCovarianceBuilder(
+            np.ma.masked_where(mask, Lxs),
+            np.ma.masked_where(mask, Lys),
+            np.ma.masked_where(mask, thetas),
+            np.ma.masked_where(mask, stdevs),
+            lats,
+            lons,
+            v=0.5,
+            **kw,
+        ).cov_ns
+
+    cov_array = build()
+    cov_batched = build(covariance_method="batched", batch_size=100)
+    cov_loop = build(covariance_method="low_memory")
+    np.testing.assert_allclose(cov_array, cov_batched, rtol=1e-5)
+    np.testing.assert_allclose(cov_array, cov_loop, rtol=1e-5)
+
+
+@requires_reference_data
+def test_ellipse_covariance_max_dist():
+    Lxs, Lys, thetas, stdevs, lats, lons, mask = _atlantic_subset()
+    builder = EllipseCovarianceBuilder(
+        np.ma.masked_where(mask, Lxs),
+        np.ma.masked_where(mask, Lys),
+        np.ma.masked_where(mask, thetas),
+        np.ma.masked_where(mask, stdevs),
+        lats,
+        lons,
+        v=0.5,
+        max_dist=500.0,
+    )
+    # entries beyond the radius are exactly zero; diagonal survives
+    assert (np.diag(builder.cov_ns) > 0).all()
+    n_zero = np.sum(builder.cov_ns == 0.0)
+    assert n_zero > 0.5 * builder.cov_ns.size
+
+
+@requires_reference_data
+def test_uncompress_cov():
+    Lxs, Lys, thetas, stdevs, lats, lons, mask = _atlantic_subset()
+    builder = EllipseCovarianceBuilder(
+        np.ma.masked_where(mask, Lxs),
+        np.ma.masked_where(mask, Lys),
+        np.ma.masked_where(mask, thetas),
+        np.ma.masked_where(mask, stdevs),
+        lats,
+        lons,
+        v=0.5,
+    )
+    builder.uncompress_cov()
+    assert builder.cov_ns.shape[0] == builder.cov_ns.shape[1]
+    assert builder.cov_ns.shape[0] == Lxs.size
+
+
+def _initialise_covariance(Lx, Ly, theta, stdev, v, size):
+    Lx_arr = np.full(size, Lx)
+    Ly_arr = np.full(size, Ly)
+    theta_arr = np.full(size, theta)
+    stdev_arr = np.full(size, stdev)
+    lons = np.arange(size[1], dtype=np.float32)
+    lats = np.arange(size[0], dtype=np.float32)
+    out = EllipseCovarianceBuilder(
+        Lx_arr, Ly_arr, theta_arr, stdev_arr, v=v, lons=lons, lats=lats
+    ).cov_ns
+    return eigenvalue_clip(
+        out, method="explained_variance", target_variance_fraction=0.99
+    )
+
+
+@pytest.mark.parametrize(
+    "v, params, size",
+    [
+        (
+            1.5,
+            {"Lx": 1500, "Ly": 800, "theta": np.pi / 3, "stdev": 0.6},
+            (10, 6),
+        ),
+        (1.5, {"Lx": 3600, "Ly": 1700, "theta": 0.2, "stdev": 1.2}, (8, 8)),
+    ],
+)
+def test_ellipse_round_trip(v, params, size):
+    """Draw samples from a known-parameter covariance, re-estimate the
+    parameters, rebuild — must recover the input covariance."""
+    rng = np.random.default_rng(40814)
+    n = 5_000
+    true_cov = _initialise_covariance(**params, v=v, size=size)
+    test_data = rng.multivariate_normal(
+        np.zeros(true_cov.shape[0]), true_cov, size=n
+    )
+    in_cov = np.cov(test_data.T)
+    test_data = test_data.reshape((n, *size))
+    coords = Coordinates(
+        {
+            "time": np.arange(n),
+            "longitude": np.arange(size[1], dtype=np.float32),
+            "latitude": np.arange(size[0], dtype=np.float32),
+        }
+    )
+
+    ellipse = EllipseModel(
+        anisotropic=True,
+        rotated=True,
+        physical_distance=True,
+        v=v,
+        unit_sigma=True,
+    )
+    builder = EllipseBuilder(test_data, coords)
+
+    ellipse_params = builder.compute_params(
+        default_value=[0.0] * ellipse.supercategory_n_params,
+        matern_ellipse=ellipse,
+        bounds=[
+            (300.0, 30000.0),
+            (300.0, 30000.0),
+            (-2.0 * np.pi, 2.0 * np.pi),
+        ],
+        guesses=[300.0, 300.0, 0.0],
+        max_distance=10_000.0,
+        delta_x_method="Modified_Met_Office",
+    )
+
+    ellipse_cov = EllipseCovarianceBuilder(
+        ellipse_params["Lx"].values,
+        ellipse_params["Ly"].values,
+        ellipse_params["theta"].values,
+        ellipse_params["standard_deviation"].values,
+        lons=np.asarray(coords["longitude"]),
+        lats=np.asarray(coords["latitude"]),
+        v=v,
+    ).cov_ns
+    ellipse_cov = eigenvalue_clip(
+        ellipse_cov, method="explained_variance",
+        target_variance_fraction=0.99,
+    )
+
+    np.testing.assert_allclose(ellipse_cov, in_cov, rtol=5e-2, atol=5e-3)
+    assert correlation_distance(in_cov, ellipse_cov) < 1e-4
+
+
+@requires_reference_data
+def test_ellipse_atlantic_self_consistency():
+    """Round trip through the real Atlantic parameter file at n=1000."""
+    ds = open_dataset(reference_data_path("Atlantic_Ocean_07.nc"))
+    sl = (slice(50, 70), slice(50, 70))
+    Lxs = ds["lx"].values[sl]
+    lats = np.asarray(ds.coords["latitude"])[sl[0]]
+    lons = np.asarray(ds.coords["longitude"])[sl[1]]
+    mask = Lxs > 1e5
+    known_cov = open_dataset(reference_data_path("cov_no_hfix.nc"))[
+        "covariance"
+    ].values
+
+    rng = np.random.default_rng(7)
+    n = 1_000
+    draws = rng.multivariate_normal(
+        np.zeros(known_cov.shape[0]), known_cov, size=n
+    )
+    test_data = np.array(
+        [
+            uncompress_masked(draws[i, :], mask.flatten(), fill_value=np.nan)
+            for i in range(n)
+        ]
+    ).reshape((n, *Lxs.shape))
+    test_data = np.ma.masked_where(np.isnan(test_data), test_data)
+
+    ellipse = EllipseModel(
+        anisotropic=True,
+        rotated=True,
+        physical_distance=True,
+        v=0.5,
+        unit_sigma=True,
+    )
+    builder = EllipseBuilder(
+        test_data,
+        Coordinates(
+            {"time": np.arange(n), "longitude": lons, "latitude": lats}
+        ),
+    )
+    ellipse_params = builder.compute_params(
+        default_value=[-999.0] * ellipse.supercategory_n_params,
+        matern_ellipse=ellipse,
+        bounds=[
+            (300.0, 30000.0),
+            (300.0, 30000.0),
+            (-2.0 * np.pi, 2.0 * np.pi),
+        ],
+        guesses=[300.0, 300.0, 0.0],
+        max_distance=10_000.0,
+        delta_x_method="Modified_Met_Office",
+    )
+    rebuilt = EllipseCovarianceBuilder(
+        np.ma.masked_less(ellipse_params["Lx"].values, -900.0),
+        np.ma.masked_less(ellipse_params["Ly"].values, -900.0),
+        np.ma.masked_less(ellipse_params["theta"].values, -900.0),
+        np.ma.masked_less(
+            ellipse_params["standard_deviation"].values, -900.0
+        ),
+        lats,
+        lons,
+        v=0.5,
+    ).cov_ns
+    assert correlation_distance(rebuilt, builder.cov) < 1e-3
+
+
+def test_ellipse_model_taxonomy():
+    m = EllipseModel(
+        anisotropic=True, rotated=True, physical_distance=True, v=0.5
+    )
+    assert m.fform == "anisotropic_rotated_pd"
+    assert m.model_type == "ps2006_kks2011_ani_r_pd"
+    assert m.supercategory == "3_param_matern_pd"
+    assert m.n_params == 3
+    m2 = EllipseModel(
+        anisotropic=False, rotated=False, physical_distance=False, v=1.5
+    )
+    assert m2.fform == "isotropic"
+    assert m2.n_params == 1
+    with pytest.raises(ValueError, match="isotropic rotated"):
+        EllipseModel(
+            anisotropic=False, rotated=True, physical_distance=False, v=0.5
+        )
+    with pytest.raises(ValueError, match="'v' must be > 0"):
+        EllipseModel(
+            anisotropic=True, rotated=True, physical_distance=True, v=0.0
+        )
+
+
+def test_ellipse_nll_against_reference_formula(rng):
+    """NLL equals a direct scipy/numpy transliteration of the reference."""
+    from scipy.special import gamma as sgamma
+    from scipy.special import kv as skv
+    from scipy.stats import norm
+
+    m = EllipseModel(
+        anisotropic=True,
+        rotated=True,
+        physical_distance=True,
+        v=1.5,
+        unit_sigma=True,
+    )
+    X = rng.uniform(-2000, 2000, size=(50, 2))
+    params = [1500.0, 800.0, 0.3]
+
+    # reference-style expected correlation
+    Lx, Ly, theta = params
+    R = np.array(
+        [
+            [np.cos(theta), -np.sin(theta)],
+            [np.sin(theta), np.cos(theta)],
+        ]
+    )
+    sigma = R @ np.diag([Lx**2, Ly**2]) @ R.T
+    si = np.linalg.inv(sigma)
+    dx, dy = X[:, 0], X[:, 1]
+    tau = np.sqrt(
+        dx * (dx * si[0, 0] + dy * si[0, 1])
+        + dy * (dx * si[1, 0] + dy * si[1, 1])
+    )
+    inner = 2.0 * tau * np.sqrt(1.5)
+    y_ll = inner**1.5 * skv(1.5, inner) / (sgamma(1.5) * 2.0**0.5)
+    y = np.clip(y_ll + rng.normal(0, 0.05, size=50), -0.99, 0.99)
+
+    expected = -np.sum(
+        norm.logpdf(np.arctanh(y), loc=np.arctanh(y_ll), scale=1.0)
+    )
+    ours = m.negative_log_likelihood(X, y, params)
+    np.testing.assert_allclose(ours, expected, rtol=1e-8)
+
+
+def test_ellipse_fit_bootstrap_se(rng):
+    """Bootstrap SE returns one value per fitted parameter and the fit
+    recovers a synthetic isotropic radius."""
+    m = EllipseModel(
+        anisotropic=False,
+        rotated=False,
+        physical_distance=False,
+        v=0.5,
+        unit_sigma=False,
+    )
+    R_true = 9.0
+    d = rng.uniform(0.5, 25.0, 300)
+    from scipy.special import kv as skv
+
+    inner = 2.0 * (d / R_true) * np.sqrt(0.5)
+    y = inner**0.5 * skv(0.5, inner) / (np.sqrt(np.pi / 2))  # gamma(.5)2^-.5
+    # gamma(0.5) * 2^{-0.5} = sqrt(pi/2); add noise
+    y = np.clip(y + rng.normal(0, 0.02, 300), -0.999, 0.999)
+    res, SE, bounds = m.fit(d, y, estimate_SE="bootstrap_parallel", n_sim=32)
+    assert abs(float(res.x[0]) - R_true) < 1.0
+    assert SE is not None and SE.shape == (2,)  # R + likelihood sigma
+    res2, SE2, _ = m.fit(d, y, estimate_SE=None)
+    assert SE2 is None

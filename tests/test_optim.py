@@ -1,0 +1,65 @@
+"""Batched Nelder-Mead vs scipy oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.optimize import minimize
+
+from glomargridding_tpu.ops.optim import batched_nelder_mead, nelder_mead
+
+
+def rosenbrock(x):
+    return (1 - x[0]) ** 2 + 100 * (x[1] - x[0] ** 2) ** 2
+
+
+def test_rosenbrock_matches_scipy():
+    x0 = jnp.array([-1.2, 1.0])
+    res = nelder_mead(rosenbrock, x0, xatol=1e-6, fatol=1e-6, maxiter=1000)
+    ref = minimize(
+        lambda x: float(rosenbrock(jnp.asarray(x))),
+        np.array([-1.2, 1.0]),
+        method="Nelder-Mead",
+        options={"xatol": 1e-6, "fatol": 1e-6, "maxiter": 1000},
+    )
+    assert bool(res.success)
+    np.testing.assert_allclose(np.asarray(res.x), ref.x, atol=1e-4)
+
+
+def test_bounded_quadratic():
+    # minimum outside the box -> converges onto the bound
+    def f(x):
+        return jnp.sum((x - 5.0) ** 2)
+
+    lo = jnp.array([0.0, 0.0])
+    hi = jnp.array([2.0, 2.0])
+    res = nelder_mead(f, jnp.array([1.0, 1.0]), bounds=(lo, hi))
+    np.testing.assert_allclose(np.asarray(res.x), [2.0, 2.0], atol=1e-3)
+
+
+def test_batched_quadratics(rng):
+    # B independent quadratics with different centres
+    centres = jnp.asarray(rng.uniform(-3, 3, size=(64, 3)))
+
+    def f(x, c):
+        return jnp.sum((x - c) ** 2)
+
+    x0 = jnp.zeros((64, 3))
+    lo = jnp.full(3, -10.0)
+    hi = jnp.full(3, 10.0)
+    res = batched_nelder_mead(
+        f, x0, (centres,), (lo, hi), xatol=1e-6, fatol=1e-10, maxiter=600
+    )
+    assert bool(res.success.all())
+    np.testing.assert_allclose(
+        np.asarray(res.x), np.asarray(centres), atol=1e-3
+    )
+    assert res.nit.shape == (64,)
+
+
+def test_maxiter_reports_failure():
+    res = nelder_mead(
+        rosenbrock, jnp.array([-1.2, 1.0]), maxiter=3, xatol=1e-12,
+        fatol=1e-12,
+    )
+    assert not bool(res.success)
+    assert int(res.nit) == 3
