@@ -1,0 +1,99 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from glomargridding_tpu.models.kriging import OrdinaryKriging
+from glomargridding_tpu.parallel import (
+    ensemble_kriging_step,
+    make_mesh,
+    sharded_ordinary_kriging,
+)
+
+
+def _problem(rng, m=128, n_obs=10):
+    pts = rng.uniform(0, 1, size=(m, 2))
+    d = np.linalg.norm(pts[:, None, :] - pts[None, :, :], axis=-1)
+    cov = np.exp(-d / 0.3) + 1e-6 * np.eye(m)
+    idx = np.sort(rng.choice(m, size=n_obs, replace=False))
+    obs = rng.normal(size=n_obs)
+    err = 0.05 * np.eye(n_obs)
+    return cov, idx, obs, err
+
+
+def test_make_mesh_factorisations():
+    mesh = make_mesh()
+    assert mesh.devices.size == jax.device_count()
+    mesh2 = make_mesh(n_grid=4, n_ens=2)
+    assert mesh2.shape == {"grid": 4, "ens": 2}
+    with pytest.raises(ValueError):
+        make_mesh(n_grid=3, n_ens=2)
+
+
+def test_sharded_matches_single_device(rng):
+    cov, idx, obs, err = _problem(rng)
+    mesh = make_mesh(n_grid=8, n_ens=1)
+    field, uncert2, cmask = sharded_ordinary_kriging(
+        mesh, cov, idx, obs, err
+    )
+
+    OK = OrdinaryKriging(cov, idx=idx, obs=obs, error_cov=err)
+    k_ref = OK.solve()
+    u_ref = OK.get_uncertainty()
+    a_ref = OK.constraint_mask()
+
+    np.testing.assert_allclose(np.asarray(field), k_ref, rtol=1e-8)
+    np.testing.assert_allclose(
+        np.sqrt(np.maximum(np.asarray(uncert2), 0)), u_ref, rtol=1e-6
+    )
+    np.testing.assert_allclose(np.asarray(cmask), a_ref, rtol=1e-8)
+
+    # outputs are actually sharded over the grid axis
+    shard_devs = {s.device for s in field.addressable_shards}
+    assert len(shard_devs) == 8
+
+
+def test_ensemble_step_2d_mesh(rng):
+    cov, idx, obs, err = _problem(rng)
+    mesh = make_mesh(n_grid=4, n_ens=2)
+    members, field, uncert2 = ensemble_kriging_step(
+        mesh, jax.random.key(0), cov, err, idx, obs, n_members=8
+    )
+    assert members.shape == (8, 128)
+    assert np.isfinite(np.asarray(members)).all()
+
+    # statistical sanity: the ensemble mean approaches the kriged field
+    mesh1 = make_mesh(n_grid=8, n_ens=1)
+    members_many, field2, _ = ensemble_kriging_step(
+        mesh1, jax.random.key(1), cov, err, idx, obs, n_members=512
+    )
+    np.testing.assert_allclose(np.asarray(field), np.asarray(field2))
+    spread = np.abs(np.asarray(members_many).mean(0) - np.asarray(field))
+    assert spread.mean() < 0.2  # members fluctuate around the field
+
+    # ensemble members at observed points stay near the obs-field values
+    err_at_obs = np.abs(
+        np.asarray(members_many)[:, idx].mean(0)
+        - np.asarray(field)[idx]
+    )
+    assert err_at_obs.mean() < 0.2
+
+
+def test_graft_entry_roundtrip():
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry",
+        os.path.join(os.path.dirname(__file__), "..", "__graft_entry__.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    fn, args = mod.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    assert all(np.isfinite(np.asarray(o)).all() for o in out)
+
+    mod.dryrun_multichip(8)
