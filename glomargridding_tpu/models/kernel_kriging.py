@@ -1,0 +1,311 @@
+r"""Kernel-functional kriging: the large-N path (covariance never
+materialised).
+
+The class API (``models.kriging``) mirrors the reference and takes a
+dense M x M covariance — fine to ~10k grid points. At production scale
+(1-degree global, M ~ 65k) a dense covariance is ~17 GB in f32 and the
+reference cannot run at all. This module provides the TPU-native design:
+the covariance is a *kernel function* of coordinates; the solver streams
+column blocks of :math:`C_{cross}` under ``lax.scan``, building each tile
+directly from the kernel, triangular-solving it against the one
+replicated Cholesky factor of :math:`K = C_{obs} + E`, and reducing its
+slice of the field / uncertainty / constraint-mask diagonals. Peak memory
+is O(n^2 + n * block) regardless of M.
+
+This is the engine behind ``bench.py`` (64.8k grid / 5k obs in ~0.3 s on
+one v5e chip vs the 10 s baseline target).
+"""
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+import numpy as np
+
+from ..constants import RADIUS_OF_EARTH_KM
+
+
+class KrigingResult(NamedTuple):
+    """Kriged field + diagnostics (uncertainty = sqrt of clamped var)."""
+
+    field: jax.Array
+    uncertainty: jax.Array
+    constraint_mask: jax.Array
+
+
+def variogram_kernel(
+    variogram,
+    distance: str = "haversine",
+    variance: float | None = None,
+    radius: float = RADIUS_OF_EARTH_KM,
+) -> Callable:
+    """Covariance kernel (lat1, lon1, lat2, lon2 in RADIANS) from a
+    variogram model.
+
+    `distance` is "haversine" (great-circle km), "chordal" (tunnel km) or
+    "cartesian" (planar degrees on raw coordinates). The kernel evaluates
+    ``variance - variogram(d)`` elementwise — fused by XLA into whatever
+    tile consumes it.
+    """
+    var = (
+        variogram.psill + variogram.nugget if variance is None else variance
+    )
+
+    def kernel(la1, lo1, la2, lo2):
+        if distance == "cartesian":
+            dy = jnp.degrees(la1[:, None] - la2[None, :])
+            dx = jnp.degrees(lo1[:, None] - lo2[None, :])
+            d = jnp.sqrt(dy * dy + dx * dx)
+        else:
+            a = (
+                jnp.sin((la1[:, None] - la2[None, :]) / 2.0) ** 2
+                + jnp.cos(la1)[:, None]
+                * jnp.cos(la2)[None, :]
+                * jnp.sin((lo1[:, None] - lo2[None, :]) / 2.0) ** 2
+            )
+            c = 2.0 * jnp.arcsin(jnp.sqrt(jnp.clip(a, 0.0, 1.0)))
+            if distance == "chordal":
+                d = 2.0 * radius * jnp.sin(c / 2.0)
+            elif distance == "haversine":
+                d = radius * c
+            else:
+                raise ValueError(f"Unknown distance: {distance}")
+        return var - variogram._kernel(d)
+
+    return kernel
+
+
+def _pad_blocks(arr, n_blocks):
+    m = arr.shape[0]
+    block = -(-m // n_blocks)
+    pad = n_blocks * block - m
+    if pad:
+        arr = jnp.concatenate([arr, jnp.broadcast_to(arr[-1:], (pad,))])
+    return arr.reshape(n_blocks, block), pad
+
+
+@partial(
+    jax.jit,
+    static_argnames=("kernel_fn", "method", "n_blocks"),
+)
+def _kernel_kriging_jit(
+    kernel_fn,
+    la,
+    lo,
+    idx,
+    y,
+    error_cov,
+    variance,
+    mean,
+    method: str,
+    n_blocks: int,
+):
+    la_o = la[idx]
+    lo_o = lo[idx]
+    K = kernel_fn(la_o, lo_o, la_o, lo_o)
+    if error_cov is not None:
+        K = K + error_cov
+    factor = jsl.cho_factor(K)
+    n = idx.shape[0]
+    ones = jnp.ones((n,), la.dtype)
+    u = jsl.cho_solve(factor, ones)
+    s = jnp.sum(u)
+    uy = u @ y
+
+    la_b, _ = _pad_blocks(la, n_blocks)
+    lo_b, _ = _pad_blocks(lo, n_blocks)
+
+    def per_block(_, inputs):
+        la_blk, lo_blk = inputs
+        Cc = kernel_fn(la_o, lo_o, la_blk, lo_blk)  # (n, B)
+        V = jsl.cho_solve(factor, Cc)
+        sv = jnp.einsum("nb,nb->b", Cc, V)
+        if method == "ordinary":
+            t = jnp.sum(V, axis=0)
+            lam = (t - 1.0) / s
+            field = V.T @ y - lam * uy
+            wc = sv - lam * t
+            uncert2 = variance - (wc + lam) - lam
+        else:
+            field = V.T @ y + mean
+            uncert2 = variance - sv
+        cmask = sv / variance
+        return None, (field, uncert2, cmask)
+
+    _, (field, uncert2, cmask) = jax.lax.scan(
+        per_block, None, (la_b, lo_b)
+    )
+    return field.reshape(-1), uncert2.reshape(-1), cmask.reshape(-1)
+
+
+def kriging_from_kernel(
+    kernel_fn: Callable,
+    grid_lats,
+    grid_lons,
+    idx,
+    obs,
+    error_cov=None,
+    variance: float = 1.0,
+    method: str = "ordinary",
+    mean: float = 0.0,
+    n_blocks: int = 16,
+) -> KrigingResult:
+    """Simple/ordinary kriging against a covariance *kernel*.
+
+    `kernel_fn(la1, lo1, la2, lo2)` (radians) produces covariance tiles;
+    `grid_lats`/`grid_lons` are the output grid positions in degrees;
+    `variance` is the kernel's value at zero distance (diag(C)).
+    Memory never exceeds O(n^2 + n * M/n_blocks).
+    """
+    if method not in ("ordinary", "simple"):
+        raise ValueError(f"Unknown kriging method: {method}")
+    la = jnp.radians(jnp.asarray(grid_lats))
+    lo = jnp.radians(jnp.asarray(grid_lons))
+    m = la.shape[0]
+    idx = jnp.asarray(idx)
+    y = jnp.asarray(obs, la.dtype)
+    E = None if error_cov is None else jnp.asarray(error_cov, la.dtype)
+
+    field, uncert2, cmask = _kernel_kriging_jit(
+        kernel_fn,
+        la,
+        lo,
+        idx,
+        y,
+        E,
+        jnp.asarray(variance, la.dtype),
+        jnp.asarray(mean, la.dtype),
+        method,
+        n_blocks,
+    )
+    field = field[:m]
+    uncert2 = uncert2[:m]
+    cmask = cmask[:m]
+    uncert = jnp.sqrt(jnp.clip(uncert2, 0.0))
+    return KrigingResult(field, uncert, cmask)
+
+
+@partial(
+    jax.jit, static_argnames=("kernel_fn", "n_members", "n_blocks")
+)
+def _kernel_ensemble_jit(
+    kernel_fn, la, lo, idx, y, error_cov, key, n_members, n_blocks
+):
+    la_o = la[idx]
+    lo_o = lo[idx]
+    K = kernel_fn(la_o, lo_o, la_o, lo_o) + error_cov
+    factor = jsl.cho_factor(K)
+    n = idx.shape[0]
+    ones = jnp.ones((n,), la.dtype)
+    u = jsl.cho_solve(factor, ones)
+    s = jnp.sum(u)
+    uy = u @ y
+    L_obs = jnp.linalg.cholesky(K)
+    z = jax.random.normal(key, (n_members, n), la.dtype)
+    sim_obs = z @ L_obs.T
+
+    la_b, _ = _pad_blocks(la, n_blocks)
+    lo_b, _ = _pad_blocks(lo, n_blocks)
+
+    def per_block(_, inputs):
+        la_blk, lo_blk = inputs
+        Cc = kernel_fn(la_o, lo_o, la_blk, lo_blk)
+        V = jsl.cho_solve(factor, Cc)
+        t = jnp.sum(V, axis=0)
+        lam = (t - 1.0) / s
+        field = V.T @ y - lam * uy
+        perturbed = field[None, :] + sim_obs @ V
+        return None, (field, perturbed)
+
+    _, (field, members) = jax.lax.scan(per_block, None, (la_b, lo_b))
+    field = field.reshape(-1)
+    members = jnp.transpose(members, (1, 0, 2)).reshape(n_members, -1)
+    return field, members
+
+
+def ensemble_from_kernel(
+    kernel_fn: Callable,
+    grid_lats,
+    grid_lons,
+    idx,
+    obs,
+    error_cov,
+    key,
+    n_members: int = 100,
+    n_blocks: int = 16,
+):
+    """Observation-perturbation ensemble around the kernel-kriged field.
+
+    One factorisation of K = C_obs + E; `n_members` draws of simulated
+    observation noise are simple-kriged through the streamed column
+    blocks. Returns (field (M,), members (n_members, M)). For the full
+    Morice-2021 two-stage scheme with simulated STATES, use
+    ``models.stochastic`` (dense covariance) or the sharded
+    ``parallel.ensemble_kriging_step``.
+    """
+    la = jnp.radians(jnp.asarray(grid_lats))
+    lo = jnp.radians(jnp.asarray(grid_lons))
+    m = la.shape[0]
+    field, members = _kernel_ensemble_jit(
+        kernel_fn,
+        la,
+        lo,
+        jnp.asarray(idx),
+        jnp.asarray(obs, la.dtype),
+        jnp.asarray(error_cov, la.dtype),
+        key,
+        n_members,
+        n_blocks,
+    )
+    return field[:m], members[:, :m]
+
+
+def months_scan_kriging(
+    kernel_fn: Callable,
+    grid_lats,
+    grid_lons,
+    idx_months,
+    obs_months,
+    error_cov_months,
+    variance: float = 1.0,
+    n_blocks: int = 8,
+):
+    """Batch kriging over a stack of months with identical obs layouts.
+
+    `idx_months` (T, n), `obs_months` (T, n), `error_cov_months`
+    (T, n, n): one compiled program maps over months (the ESA-CCI
+    41-Marches configuration; months with differing obs counts should be
+    padded/bucketed by the caller). Returns fields (T, M).
+    """
+    la = jnp.radians(jnp.asarray(grid_lats))
+    lo = jnp.radians(jnp.asarray(grid_lons))
+    m = la.shape[0]
+
+    def one_month(carry, inputs):
+        idx, y, E = inputs
+        field, _, _ = _kernel_kriging_jit(
+            kernel_fn,
+            la,
+            lo,
+            idx,
+            y,
+            E,
+            jnp.asarray(variance, la.dtype),
+            jnp.asarray(0.0, la.dtype),
+            "ordinary",
+            n_blocks,
+        )
+        return carry, field[:m]
+
+    _, fields = jax.lax.scan(
+        one_month,
+        None,
+        (
+            jnp.asarray(idx_months),
+            jnp.asarray(obs_months),
+            jnp.asarray(error_cov_months),
+        ),
+    )
+    return fields

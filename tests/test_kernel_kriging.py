@@ -1,0 +1,134 @@
+"""Kernel-functional (large-N streamed) kriging vs the dense class path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from glomargridding_tpu.models.kernel_kriging import (
+    ensemble_from_kernel,
+    kriging_from_kernel,
+    months_scan_kriging,
+    variogram_kernel,
+)
+from glomargridding_tpu.models.kriging import OrdinaryKriging, SimpleKriging
+from glomargridding_tpu.ops.distances import haversine_matrix
+from glomargridding_tpu.ops.variogram import MaternVariogram
+
+
+def _grid_problem(rng, n_lat=12, n_lon=24, n_obs=20):
+    lat = np.arange(-82.5, 90, 180.0 / n_lat)
+    lon = np.arange(-172.5, 180, 360.0 / n_lon)
+    glat = np.repeat(lat, n_lon)
+    glon = np.tile(lon, n_lat)
+    m = len(glat)
+    idx = np.sort(rng.choice(m, n_obs, replace=False))
+    obs = rng.normal(size=n_obs)
+    err = np.diag(0.1 + 0.05 * rng.random(n_obs))
+    return glat, glon, idx, obs, err
+
+
+@pytest.mark.parametrize("method", ["ordinary", "simple"])
+def test_kernel_matches_dense_class(rng, method):
+    glat, glon, idx, obs, err = _grid_problem(rng)
+    vario = MaternVariogram(psill=1.2, nugget=0.0, range=2000.0, nu=1.5)
+    kernel = variogram_kernel(vario)
+
+    res = kriging_from_kernel(
+        kernel,
+        glat,
+        glon,
+        idx,
+        obs,
+        error_cov=err,
+        variance=1.2,
+        method=method,
+        n_blocks=6,
+    )
+
+    # dense covariance reference through the class API
+    d = np.asarray(haversine_matrix(glat, glon))
+    cov = np.asarray(vario.covariance(d, variance=1.2))
+    cls = OrdinaryKriging if method == "ordinary" else SimpleKriging
+    K = cls(cov, idx=idx, obs=obs, error_cov=err)
+    k_ref = K.solve()
+    u_ref = K.get_uncertainty()
+    a_ref = K.constraint_mask()
+
+    np.testing.assert_allclose(np.asarray(res.field), k_ref, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(res.uncertainty), u_ref, rtol=1e-5, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.constraint_mask), a_ref, rtol=1e-6
+    )
+
+
+def test_kernel_kriging_block_invariance(rng):
+    """Result independent of block count (incl. non-divisible padding)."""
+    glat, glon, idx, obs, err = _grid_problem(rng)
+    vario = MaternVariogram(psill=1.0, nugget=0.0, range=1500.0, nu=0.5)
+    kernel = variogram_kernel(vario)
+    base = kriging_from_kernel(
+        kernel, glat, glon, idx, obs, err, variance=1.0, n_blocks=1
+    )
+    for n_blocks in (3, 7, 16):
+        other = kriging_from_kernel(
+            kernel, glat, glon, idx, obs, err, variance=1.0,
+            n_blocks=n_blocks,
+        )
+        np.testing.assert_allclose(
+            np.asarray(base.field), np.asarray(other.field), rtol=1e-6
+        )
+
+
+def test_ensemble_from_kernel(rng):
+    glat, glon, idx, obs, err = _grid_problem(rng)
+    vario = MaternVariogram(psill=1.0, nugget=0.0, range=1500.0, nu=0.5)
+    kernel = variogram_kernel(vario)
+    field, members = ensemble_from_kernel(
+        kernel, glat, glon, idx, obs, err, jax.random.key(0),
+        n_members=256, n_blocks=4,
+    )
+    assert members.shape == (256, len(glat))
+    # members scatter around the kriged field with sane spread
+    mean_dev = np.abs(np.asarray(members).mean(0) - np.asarray(field))
+    assert mean_dev.mean() < 0.1
+    assert np.isfinite(np.asarray(members)).all()
+
+
+def test_months_scan(rng):
+    glat, glon, idx, obs, err = _grid_problem(rng)
+    vario = MaternVariogram(psill=1.0, nugget=0.0, range=1500.0, nu=0.5)
+    kernel = variogram_kernel(vario)
+    T = 5
+    idx_m = np.stack([idx] * T)
+    obs_m = np.stack([rng.normal(size=len(idx)) for _ in range(T)])
+    err_m = np.stack([err] * T)
+    fields = months_scan_kriging(
+        kernel, glat, glon, idx_m, obs_m, err_m, variance=1.0
+    )
+    assert fields.shape == (T, len(glat))
+    # month 0 equals the single-month call
+    single = kriging_from_kernel(
+        kernel, glat, glon, idx, obs_m[0], err, variance=1.0, n_blocks=8
+    )
+    np.testing.assert_allclose(
+        np.asarray(fields[0]), np.asarray(single.field), rtol=1e-6
+    )
+
+
+def test_kernel_distance_variants(rng):
+    glat, glon, idx, obs, err = _grid_problem(rng)
+    vario = MaternVariogram(psill=1.0, nugget=0.0, range=1500.0, nu=0.5)
+    for distance in ("haversine", "chordal", "cartesian"):
+        kernel = variogram_kernel(vario, distance=distance)
+        res = kriging_from_kernel(
+            kernel, glat, glon, idx, obs, err, variance=1.0
+        )
+        assert np.isfinite(np.asarray(res.field)).all()
+    with pytest.raises(ValueError):
+        kriging_from_kernel(
+            variogram_kernel(vario), glat, glon, idx, obs, err,
+            method="bogus",
+        )
