@@ -1,0 +1,13 @@
+"""Pallas TPU kernels for the hot pairwise covariance ops."""
+
+from .pairwise import (
+    ellipse_covariance_pallas,
+    matern_covariance_pallas,
+    pallas_supported,
+)
+
+__all__ = [
+    "ellipse_covariance_pallas",
+    "matern_covariance_pallas",
+    "pallas_supported",
+]

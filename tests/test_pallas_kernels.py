@@ -1,0 +1,133 @@
+"""Pallas tile kernels vs the jnp reference paths (interpret mode on
+CPU; compiled on TPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from glomargridding_tpu.ops.distances import haversine_matrix, sigma_rot_flat
+from glomargridding_tpu.ops.pallas import (
+    ellipse_covariance_pallas,
+    matern_covariance_pallas,
+)
+from glomargridding_tpu.ops.variogram import MaternVariogram
+from glomargridding_tpu.models.ellipse.covariance import (
+    build_ellipse_covariance,
+)
+
+
+@pytest.mark.parametrize("nu", [0.5, 1.5, 2.5, 3.5])
+def test_matern_pallas_matches_variogram(rng, nu):
+    lats1 = rng.uniform(-80, 80, 40)
+    lons1 = rng.uniform(-180, 180, 40)
+    lats2 = rng.uniform(-80, 80, 30)
+    lons2 = rng.uniform(-180, 180, 30)
+
+    ours = np.asarray(
+        matern_covariance_pallas(
+            jnp.asarray(lats1, jnp.float32),
+            jnp.asarray(lons1, jnp.float32),
+            jnp.asarray(lats2, jnp.float32),
+            jnp.asarray(lons2, jnp.float32),
+            nu=nu,
+            psill=1.2,
+            range_km=1500.0,
+        )
+    )
+    assert ours.shape == (40, 30)
+
+    vario = MaternVariogram(psill=1.2, nugget=0.0, range=1500.0, nu=nu)
+    d = np.asarray(haversine_matrix(lats1, lons1, lats2, lons2))
+    ref = np.asarray(vario.covariance(d, variance=1.2))
+    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=1e-6)
+
+
+def test_matern_pallas_diagonal_exact(rng):
+    lats = rng.uniform(-80, 80, 20)
+    lons = rng.uniform(-180, 180, 20)
+    out = np.asarray(
+        matern_covariance_pallas(
+            jnp.asarray(lats, jnp.float32),
+            jnp.asarray(lons, jnp.float32),
+            jnp.asarray(lats, jnp.float32),
+            jnp.asarray(lons, jnp.float32),
+            nu=1.5,
+            psill=2.0,
+            range_km=1000.0,
+        )
+    )
+    np.testing.assert_allclose(np.diag(out), 2.0, rtol=1e-6)
+
+
+@pytest.mark.parametrize("method", ["Modified_Met_Office", "Met_Office"])
+def test_ellipse_pallas_matches_jnp(rng, method):
+    n = 50
+    lats = np.sort(rng.uniform(-60, 60, n)).astype(np.float32)
+    lons = rng.uniform(-180, 180, n).astype(np.float32)
+    Lx = rng.uniform(800, 2000, n).astype(np.float32)
+    Ly = rng.uniform(400, 800, n).astype(np.float32)
+    theta = rng.uniform(-np.pi, np.pi, n).astype(np.float32)
+    stdev = rng.uniform(0.5, 1.5, n).astype(np.float32)
+
+    s00, s01, _, s11 = sigma_rot_flat(
+        jnp.asarray(Lx), jnp.asarray(Ly), jnp.asarray(theta)
+    )
+    sig_flat = jnp.stack([s00, s01, s11], axis=-1)
+    sqrt_dets = jnp.sqrt(s00 * s11 - s01 * s01)
+    la = jnp.radians(jnp.asarray(lats))
+    lo = jnp.radians(jnp.asarray(lons))
+
+    ref = np.asarray(
+        build_ellipse_covariance(
+            la, lo, sig_flat, sqrt_dets, jnp.asarray(stdev),
+            v=0.5, delta_x_method=method,
+        )
+    )
+    ours = np.asarray(
+        ellipse_covariance_pallas(
+            la, lo, sig_flat, sqrt_dets, jnp.asarray(stdev),
+            v=0.5, delta_x_method=method,
+        )
+    )
+    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=1e-5)
+
+
+def test_ellipse_pallas_max_dist(rng):
+    n = 30
+    lats = np.linspace(-60, 60, n).astype(np.float32)
+    lons = np.linspace(-170, 170, n).astype(np.float32)
+    Lx = np.full(n, 1500.0, np.float32)
+    Ly = np.full(n, 800.0, np.float32)
+    theta = np.zeros(n, np.float32)
+    stdev = np.ones(n, np.float32)
+    s00, s01, _, s11 = sigma_rot_flat(
+        jnp.asarray(Lx), jnp.asarray(Ly), jnp.asarray(theta)
+    )
+    sig_flat = jnp.stack([s00, s01, s11], axis=-1)
+    sqrt_dets = jnp.sqrt(s00 * s11 - s01 * s01)
+    la = jnp.radians(jnp.asarray(lats))
+    lo = jnp.radians(jnp.asarray(lons))
+
+    out = np.asarray(
+        ellipse_covariance_pallas(
+            la, lo, sig_flat, sqrt_dets, jnp.asarray(stdev),
+            v=0.5, max_dist=1000.0,
+        )
+    )
+    ref = np.asarray(
+        build_ellipse_covariance(
+            la, lo, sig_flat, sqrt_dets, jnp.asarray(stdev),
+            v=0.5, max_dist=1000.0,
+        )
+    )
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=1e-6)
+    assert (np.diag(out) == 1.0).all()
+
+
+def test_ellipse_pallas_rejects_general_nu():
+    with pytest.raises(ValueError, match="half-integer"):
+        ellipse_covariance_pallas(
+            jnp.zeros(4), jnp.zeros(4),
+            jnp.ones((4, 3)), jnp.ones(4), jnp.ones(4),
+            v=1.2,
+        )
