@@ -37,9 +37,27 @@ from .kriging import (
 # Multivariate-normal draws
 # ===========================================================================
 @jax.jit
-def draw_factor(cov):
-    """Lower Cholesky factor of a covariance (NaN if not SPD)."""
+def _cholesky_jit(cov):
     return jnp.linalg.cholesky(cov)
+
+
+def draw_factor(cov):
+    """Lower Cholesky factor of a covariance (NaN if not SPD).
+
+    f64 on a TPU backend routes to host LAPACK (the device f64 path is
+    software-emulated and ~2 orders of magnitude slower); f32 factors on
+    the accelerator.
+    """
+    if (
+        jnp.asarray(cov).dtype == jnp.float64
+        and jax.default_backend() == "tpu"
+    ):
+        a = np.asarray(cov)
+        try:
+            return jnp.asarray(np.linalg.cholesky(a))
+        except np.linalg.LinAlgError:
+            return jnp.full_like(jnp.asarray(a), jnp.nan)
+    return _cholesky_jit(cov)
 
 
 @partial(jax.jit, static_argnames=("ndraws",))
@@ -68,8 +86,11 @@ def eigen_repaired_factor(
     default because the reference's primary draw path tolerates indefinite
     inputs without raising).
     """
-    cov = jnp.asarray(cov)
-    w, v = jnp.linalg.eigh(cov)
+    from ..ops.covariance_tools import _eigh
+
+    w, v = _eigh(cov)
+    w = jnp.asarray(w)
+    v = jnp.asarray(v)
     w_min = float(w[0])
     w_max = float(w[-1])
     if w_min < 0:

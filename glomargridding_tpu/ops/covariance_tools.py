@@ -90,6 +90,21 @@ def _resynthesise(eigvecs, eigvals):
     return (eigvecs * eigvals[None, :]) @ eigvecs.T
 
 
+def _eigh(a):
+    """Symmetric eigendecomposition with dtype-aware placement.
+
+    f32 runs on the accelerator; f64 on a TPU backend would hit the slow
+    software-emulated path (~100x LAPACK for a 1.5k matrix), so it is
+    dispatched to host LAPACK instead.
+    """
+    a = np.asarray(a)
+    if a.dtype == np.float64 and jax.default_backend() == "tpu":
+        w, v = np.linalg.eigh(a)
+        return w, v
+    w, v = jnp.linalg.eigh(jnp.asarray(a))
+    return np.asarray(w), v
+
+
 def _eigenvalue_clip(eigvals, eigvecs, keep_i: int):
     """Replace all but the top `-keep_i` eigenvalues by their average.
 
@@ -172,8 +187,7 @@ def explained_variance_clip(cov, target_variance_fraction: float = 0.95):
     """
     if not 0.0 < target_variance_fraction <= 1.0:
         raise ValueError("'target_variance_fraction' must be (0, 1.0]")
-    eigvals, eigvecs = jnp.linalg.eigh(jnp.asarray(cov))
-    eigvals = np.asarray(eigvals)
+    eigvals, eigvecs = _eigh(cov)
     keep_i = _find_index_explained_variance(
         eigvals, target=target_variance_fraction
     )
@@ -192,7 +206,7 @@ def laloux_clip(cov, num_grid_pts: int | None = None, num_time_pts: int = 40):
     variances = np.diag(cov)
     cor = cov_2_cor(cov)
 
-    eigvals, eigvecs = jnp.linalg.eigh(jnp.asarray(cor))
+    eigvals, eigvecs = _eigh(cor)
     keep_i = _find_index_aspect_ratio(
         np.asarray(eigvals),
         num_grid_pts=num_grid_pts,
@@ -239,7 +253,7 @@ def simple_clipping(
     V diag(w_new) V' in one fused pass on the MXU.)
     """
     cov = np.asarray(cov)
-    eigvals, eigvecs = jnp.linalg.eigh(jnp.asarray(cov))
+    eigvals, eigvecs = _eigh(cov)
     eigvals_np = np.asarray(eigvals)
     max_abs = float(np.max(np.abs(eigvals_np)))
 

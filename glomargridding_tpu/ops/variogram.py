@@ -19,9 +19,12 @@ Range-parameter conventions per model match the reference exactly
 (``variogram.py:84-94,166-175,246-255,369-384``).
 """
 
-from dataclasses import dataclass, field
+import math
+from dataclasses import dataclass
+from functools import partial
 from typing import Literal
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -29,6 +32,52 @@ from ..core.labeled import DataArray
 from .special import gamma_fn, kv_nan_guard
 
 MaternModel = Literal["sklearn", "gstat", "karspeck"]
+
+
+@partial(jax.jit, static_argnames=("kind", "nu", "method", "fused"))
+def _vario_kernel(
+    d,
+    psill,
+    nugget,
+    range_,
+    variance,
+    kind: str,
+    nu: float | None = None,
+    method: str | None = None,
+    fused: bool = False,
+):
+    """One jitted kernel for every variogram family.
+
+    Numeric parameters are traced (no recompile across parameter values);
+    `kind`/`nu`/`method` are static. With `fused` the returned value is
+    ``variance - gamma(d)`` (covariance) in the same pass.
+    """
+    if kind == "spherical":
+        out = 0.5 * psill * (3.0 * d / range_ - (d / range_) ** 3) + nugget
+        out = jnp.where(d >= range_, nugget + psill, out)
+    elif kind == "gaussian":
+        out = psill * (1.0 - jnp.exp(-((d / range_) ** 2))) + nugget
+    elif kind == "exponential":
+        out = psill * (1.0 - jnp.exp(-(d / range_))) + nugget
+    elif kind == "matern":
+        if method == "sklearn":
+            scale = math.sqrt(2.0 * nu)
+        elif method == "gstat":
+            scale = 1.0
+        elif method == "karspeck":
+            scale = 2.0 * math.sqrt(nu)
+        else:
+            raise ValueError("Unexpected 'method' value")
+        left = 1.0 / (gamma_fn(nu) * (2.0 ** (nu - 1.0)))
+        inner = scale * (d / range_)
+        corr = left * jnp.power(inner, nu) * kv_nan_guard(nu, inner)
+        out = psill * (1.0 - corr) + nugget
+        out = jnp.where(d == 0.0, jnp.full_like(out, 1.0) * nugget, out)
+    else:
+        raise ValueError(f"Unknown variogram kind: {kind}")
+    if fused:
+        return variance - out
+    return out
 
 
 def _unwrap(x):
@@ -55,22 +104,40 @@ def _unwrap(x):
 class Variogram:
     """Abstract variogram model."""
 
-    def _kernel(self, d):
-        raise NotImplementedError(
-            "Not implemented for base Variogram class"
+    _kind: str = "abstract"
+
+    def _static_kwargs(self) -> dict:
+        return {"kind": self._kind, "nu": None, "method": None}
+
+    def _kernel(self, d, variance=0.0, fused: bool = False):
+        """Jitted variogram (or fused covariance) values at distances."""
+        if self._kind == "abstract":
+            raise NotImplementedError(
+                "Not implemented for base Variogram class"
+            )
+        return _vario_kernel(
+            d,
+            self.psill,
+            self.nugget,
+            self.range,
+            variance,
+            fused=fused,
+            **self._static_kwargs(),
         )
 
     def fit(self, distance_matrix):
         """Evaluate the variogram at each entry of a distance matrix.
 
         Returns the same container type as the input (ndarray, jax array, or
-        DataArray named "variogram").
+        DataArray named "variogram"). One fused jitted kernel per model
+        family — parameters are traced, so refits with new parameters reuse
+        the compiled program.
         """
         d, rewrap = _unwrap(distance_matrix)
         return rewrap(self._kernel(d))
 
     def covariance(self, distance_matrix, variance=None):
-        """Fused covariance = variance - variogram(d).
+        """Fused covariance = variance - variogram(d) in one kernel pass.
 
         `variance` defaults to ``psill + nugget`` (the sill), which yields a
         covariance that decays to zero at infinite distance.
@@ -78,8 +145,7 @@ class Variogram:
         d, rewrap = _unwrap(distance_matrix)
         if variance is None:
             variance = self.psill + self.nugget
-        out = variance - self._kernel(d)
-        out = rewrap(out)
+        out = rewrap(self._kernel(d, variance=variance, fused=True))
         if isinstance(out, DataArray):
             out.name = "covariance"
         return out
@@ -109,16 +175,10 @@ class SphericalVariogram(Variogram):
     range: float | None = None
 
     def __post_init__(self):
+        self._kind = "spherical"
         self.range, self.effective_range = _resolve_ranges(
             self.range, self.effective_range, 1.0
         )
-
-    def _kernel(self, d):
-        r = self.range
-        out = (
-            0.5 * self.psill * (3.0 * d / r - (d / r) ** 3) + self.nugget
-        )
-        return jnp.where(d >= r, self.nugget + self.psill, out)
 
 
 @dataclass()
@@ -135,13 +195,10 @@ class GaussianVariogram(Variogram):
     range: float | None = None
 
     def __post_init__(self):
+        self._kind = "gaussian"
         self.range, self.effective_range = _resolve_ranges(
             self.range, self.effective_range, 2.0
         )
-
-    def _kernel(self, d):
-        r = self.range
-        return self.psill * (1.0 - jnp.exp(-((d / r) ** 2))) + self.nugget
 
 
 @dataclass()
@@ -158,13 +215,10 @@ class ExponentialVariogram(Variogram):
     effective_range: float | None = None
 
     def __post_init__(self):
+        self._kind = "exponential"
         self.range, self.effective_range = _resolve_ranges(
             self.range, self.effective_range, 3.0
         )
-
-    def _kernel(self, d):
-        r = self.range
-        return self.psill * (1.0 - jnp.exp(-(d / r))) + self.nugget
 
 
 @dataclass()
@@ -191,37 +245,22 @@ class MaternVariogram(Variogram):
     method: MaternModel = "sklearn"
 
     def __post_init__(self):
+        self._kind = "matern"
         factor = 2.0 if 0.5 <= self.nu <= 10 else 3.0
         self.range, self.effective_range = _resolve_ranges(
             self.range, self.effective_range, factor
         )
 
+    def _static_kwargs(self) -> dict:
+        return {
+            "kind": "matern",
+            "nu": float(self.nu),
+            "method": self.method.lower(),
+        }
+
     @property
     def _left(self) -> float:
         return 1.0 / (gamma_fn(self.nu) * (2.0 ** (self.nu - 1.0)))
-
-    def _arg_scale(self) -> float:
-        match self.method.lower():
-            case "sklearn":
-                return float(np.sqrt(2.0 * self.nu))
-            case "gstat":
-                return 1.0
-            case "karspeck":
-                return float(2.0 * np.sqrt(self.nu))
-            case _:
-                raise ValueError("Unexpected 'method' value")
-
-    def _kernel(self, d):
-        scale = self._arg_scale()
-        dor = d / self.range
-        inner = scale * dor
-        corr = self._left * jnp.power(inner, self.nu) * kv_nan_guard(
-            self.nu, inner
-        )
-        out = self.psill * (1.0 - corr) + self.nugget
-        # The Matern form is undefined (NaN) at zero distance: the limit of
-        # the correlation is 1, so the variogram there is the nugget.
-        return jnp.where(d == 0.0, jnp.full_like(out, self.nugget), out)
 
 
 def variogram_to_covariance(variogram, variance):
