@@ -327,16 +327,22 @@ class EllipseCovarianceBuilder:
                     f"Unknown covariance_method: {self.covariance_method}"
                 )
 
+    @staticmethod
+    @jax.jit
+    def _precompute(Lx, Ly, theta):
+        """Flattened Sigma rows + sqrt determinants in one device call."""
+        s00, s01, _, s11 = sigma_rot_flat(Lx, Ly, theta)
+        sig_flat = jnp.stack([s00, s01, s11], axis=-1)
+        sqrt_dets = jnp.sqrt(s00 * s11 - s01 * s01)
+        return s00, s01, s11, sig_flat, sqrt_dets
+
     def _calculate_covariance(self) -> None:
         # Precompute flattened Sigma rows, sqrt determinants, gamma terms.
-        s00, s01, _, s11 = sigma_rot_flat(
+        s00, s01, s11, sig_flat, sqrt_dets = self._precompute(
             jnp.asarray(self.Lx_compressed),
             jnp.asarray(self.Ly_compressed),
             jnp.asarray(self.theta_compressed),
         )
-        sig_flat = jnp.stack([s00, s01, s11], axis=-1)
-        dets = s00 * s11 - s01 * s01
-        sqrt_dets = jnp.sqrt(dets)
         # parity attributes (reference keeps 1x4 rows)
         self.sigmas = np.column_stack(
             [
@@ -362,7 +368,10 @@ class EllipseCovarianceBuilder:
             row_block=self._row_block(),
             use_pallas=self.use_pallas,
         )
-        self.cov_ns = np.asarray(cov, dtype=self.precision)
+        # Left on device: downstream consumers (eigenvalue clipping,
+        # kriging) are device computations; numpy access works through
+        # __array__ when host data is actually needed.
+        self.cov_ns = cov.astype(self.precision)
         logger.info("Covariance assembled: %s", self.cov_ns.shape)
 
     def calculate_cor(self) -> None:
@@ -375,6 +384,7 @@ class EllipseCovarianceBuilder:
         self, diag_fill_value=np.nan, fill_value=np.nan
     ) -> None:
         """Re-inflate cov_ns to full-grid size with fill values."""
+        self.cov_ns = np.asarray(self.cov_ns)
         if not np.sum(~self.data_mask) == self.cov_ns.shape[0]:
             raise ValueError("Data mask and coordinates cannot be aligned")
         fmask = np.logical_or.outer(

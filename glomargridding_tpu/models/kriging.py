@@ -220,16 +220,29 @@ class Kriging(ABC):
         self.error_cov = np.nan_to_num(self.error_cov, nan=0.0)
 
     # -- shared device-side pieces -----------------------------------------
+    def _cov_device(self):
+        """Device copy of the covariance (uploaded once, then cached)."""
+        if getattr(self, "_cov_dev", None) is None:
+            self._cov_dev = jnp.asarray(self.covariance)
+        return self._cov_dev
+
     def _blocks(self):
-        """(K, C_cross, C_diag) on device, error covariance folded in."""
-        cov = jnp.asarray(self.covariance)
+        """(K, C_cross, C_diag) on device, error covariance folded in.
+
+        Gathered blocks are cached — the covariance crosses the host
+        link at most once per solver instance.
+        """
+        if getattr(self, "_blocks_cache", None) is not None:
+            return self._blocks_cache
+        cov = self._cov_device()
         idx = jnp.asarray(self.idx)
         obs_obs, obs_grid, diag = _gather_obs_blocks(cov, idx)
         if self.error_cov is not None:
             obs_obs = obs_obs + jnp.asarray(
                 self.error_cov, dtype=obs_obs.dtype
             )
-        return obs_obs, obs_grid, diag
+        self._blocks_cache = (obs_obs, obs_grid, diag)
+        return self._blocks_cache
 
     def set_kriging_weights(self, kriging_weights) -> None:
         """Inject pre-computed kriging weights."""
@@ -330,10 +343,10 @@ class OrdinaryKriging(Kriging):
             K, C_cross, C_diag, y
         )
         # Reference-layout weights: rows w_j = V_j - lam_j u, last col lam.
+        # Kept as a device array: pulling an M x (n+1) matrix to the host
+        # is pure overhead unless the user reads it.
         W = V.T - lam[:, None] * u[None, :]
-        self.kriging_weights = np.asarray(
-            jnp.concatenate([W, lam[:, None]], axis=1)
-        )
+        self.kriging_weights = jnp.concatenate([W, lam[:, None]], axis=1)
         self._uncert2 = uncert2
         self._cmask = cmask
         return np.asarray(field)

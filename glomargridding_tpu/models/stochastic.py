@@ -192,11 +192,11 @@ class StochasticKriging(Kriging):
         field, uncert2, cmask, V, u, lam = _ordinary_core(
             K, C_cross, C_diag, y
         )
-        self.simple_kriging_weights = np.asarray(V).T
+        # Device arrays: the second-stage matvecs consume them in place;
+        # conversion to numpy happens only if the user reads the attrs.
+        self.simple_kriging_weights = V.T
         W = V.T - lam[:, None] * u[None, :]
-        self.kriging_weights = np.asarray(
-            jnp.concatenate([W, lam[:, None]], axis=1)
-        )
+        self.kriging_weights = jnp.concatenate([W, lam[:, None]], axis=1)
         self._field = np.asarray(field)
         self._uncert2 = uncert2
         self._cmask = cmask
@@ -262,7 +262,7 @@ class StochasticKriging(Kriging):
             simulated_state = mv_normal_draw(
                 key_state,
                 jnp.zeros(self.covariance.shape[0]),
-                jnp.asarray(self.covariance),
+                self._cov_device(),
                 ndraws=1,
             )
         simulated_state = np.asarray(simulated_state).astype(
@@ -279,7 +279,9 @@ class StochasticKriging(Kriging):
             obs_noise
         ).astype(self.covariance.dtype)
 
-        self.simulated_grid = self.simple_kriging_weights @ self.simulated_obs
+        self.simulated_grid = np.asarray(
+            self.simple_kriging_weights @ jnp.asarray(self.simulated_obs)
+        )
         self.epsilon = self.simulated_grid - simulated_state
 
         if hasattr(self, "_field"):
