@@ -10,8 +10,6 @@ decoding (``_FillValue``/``missing_value`` -> NaN, ``scale_factor`` /
 """
 
 import os
-from typing import Any, Mapping
-
 import h5py
 import numpy as np
 

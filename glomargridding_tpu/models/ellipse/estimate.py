@@ -19,7 +19,6 @@ import math
 from typing import Any
 from warnings import warn
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -20,14 +20,13 @@ TPU re-design:
 
 import math
 from collections import OrderedDict
-from functools import partial
 from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...ops.optim import NMResult, batched_nelder_mead, nelder_mead
+from ...ops.optim import batched_nelder_mead, nelder_mead
 from ...ops.special import kv_nan_guard
 from ...types import FForm, ModelType, SuperCategory
 from ...utils.frames import deg_to_km

@@ -22,7 +22,6 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 import jax.scipy.linalg as jsl
-import numpy as np
 
 from ..constants import RADIUS_OF_EARTH_KM
 
@@ -260,6 +259,45 @@ def ensemble_from_kernel(
         n_blocks,
     )
     return field[:m], members[:, :m]
+
+
+def pad_month_observations(
+    idx_months,
+    obs_months,
+    err_months,
+    bucket: int | None = None,
+    pad_error: float = 1e8,
+):
+    """Pad variable-length monthly observation sets to one bucket size.
+
+    Monthly obs counts differ at runtime but jit needs static shapes
+    (SURVEY.md §7.4.2). Padding adds dummy observations at grid index 0
+    with value 0 and a huge uncorrelated error variance (`pad_error`), so
+    their kriging weight is ~variance/pad_error — negligible. Returns
+    stacked (T, bucket) idx/obs and (T, bucket, bucket) error covariance
+    ready for ``months_scan_kriging``.
+    """
+    import numpy as _np
+
+    if bucket is None:
+        bucket = max(len(i) for i in idx_months)
+    T = len(idx_months)
+    idx_out = _np.zeros((T, bucket), dtype=_np.asarray(idx_months[0]).dtype)
+    obs_out = _np.zeros((T, bucket), dtype=float)
+    err_out = _np.zeros((T, bucket, bucket), dtype=float)
+    for t in range(T):
+        n = len(idx_months[t])
+        if n > bucket:
+            raise ValueError(
+                f"month {t} has {n} obs > bucket size {bucket}"
+            )
+        idx_out[t, :n] = _np.asarray(idx_months[t])
+        obs_out[t, :n] = _np.asarray(obs_months[t])
+        err_out[t, :n, :n] = _np.asarray(err_months[t])
+        # dummy slots: enormous independent error -> ~zero weight
+        pad_sl = _np.arange(n, bucket)
+        err_out[t, pad_sl, pad_sl] = pad_error
+    return idx_out, obs_out, err_out
 
 
 def months_scan_kriging(

@@ -33,7 +33,6 @@ device arrays and matching the reference's constructor/attribute surface
 """
 
 from abc import ABC, abstractmethod
-from functools import partial
 from typing import Literal
 from warnings import warn
 

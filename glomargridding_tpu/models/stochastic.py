@@ -17,11 +17,9 @@ fallback. TPU re-design:
 
 import logging
 from functools import partial
-from warnings import warn
 
 import jax
 import jax.numpy as jnp
-import jax.scipy.linalg as jsl
 import numpy as np
 
 from .kriging import (
@@ -29,7 +27,6 @@ from .kriging import (
     _extended_inverse,
     _finalise_uncert,
     _ordinary_core,
-    _simple_core,
 )
 
 

@@ -17,7 +17,6 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import jax.scipy.linalg as jsl
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..models.kriging import _ordinary_core

@@ -28,8 +28,16 @@ from .frames import (
     km_to_deg,
 )
 from .logging import init_logging
+from .profiling import hbm_budget_check, hbm_estimate, stage_timer
+from ..core.labeled import select_bounds
+from .arrays import mask_array
 
 __all__ = [
+    "hbm_budget_check",
+    "hbm_estimate",
+    "mask_array",
+    "select_bounds",
+    "stage_timer",
     "ColumnNotFoundError",
     "MonthName",
     "adjust_small_negative",

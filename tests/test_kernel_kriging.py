@@ -132,3 +132,34 @@ def test_kernel_distance_variants(rng):
             variogram_kernel(vario), glat, glon, idx, obs, err,
             method="bogus",
         )
+
+
+def test_pad_month_observations(rng):
+    from glomargridding_tpu.models.kernel_kriging import (
+        pad_month_observations,
+    )
+
+    glat, glon, idx, obs, err = _grid_problem(rng)
+    vario = MaternVariogram(psill=1.0, nugget=0.0, range=1500.0, nu=0.5)
+    kernel = variogram_kernel(vario)
+
+    # two months with different obs counts
+    idx2, obs2 = idx[:12], obs[:12]
+    err2 = err[:12, :12]
+    idx_m, obs_m, err_m = pad_month_observations(
+        [idx, idx2], [obs, obs2], [err, err2]
+    )
+    assert idx_m.shape == (2, len(idx))
+    fields = months_scan_kriging(
+        kernel, glat, glon, idx_m, obs_m, err_m, variance=1.0
+    )
+
+    # padded month ~= its standalone solve (dummy obs has ~zero weight)
+    single = kriging_from_kernel(
+        kernel, glat, glon, idx2, obs2, err2, variance=1.0, n_blocks=8
+    )
+    np.testing.assert_allclose(
+        np.asarray(fields[1]), np.asarray(single.field), atol=2e-4
+    )
+    with pytest.raises(ValueError, match="bucket"):
+        pad_month_observations([idx], [obs], [err], bucket=3)
