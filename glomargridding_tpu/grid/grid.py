@@ -92,6 +92,52 @@ def map_to_grid(
     return obs
 
 
+def aggregate_observations(
+    lats,
+    lons,
+    values,
+    grid,
+    lat_coord: str | None = None,
+    lon_coord: str | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Fast raw-obs ingest for REGULAR grids: snap + per-box mean.
+
+    One fused native pass (C extension when built, numpy otherwise) maps
+    millions of raw observations to gridboxes and reduces them to one
+    averaged value per occupied box — the (idx, obs) pair the kriging
+    solvers consume. Returns (unique_idx, means, counts).
+
+    For irregular grids or when per-record frames are needed (error
+    covariance grouping), use ``map_to_grid`` + ``get_weights``.
+    """
+    from ..native import bin_mean, snap_to_grid
+
+    names = list(grid.coords.keys())
+    lat_coord = lat_coord or names[0]
+    lon_coord = lon_coord or names[1]
+    glat = np.asarray(grid.coords[lat_coord], dtype=float)
+    glon = np.asarray(grid.coords[lon_coord], dtype=float)
+    for name, axis in ((lat_coord, glat), (lon_coord, glon)):
+        steps = np.diff(axis)
+        if len(steps) and not np.allclose(steps, steps[0]):
+            raise ValueError(
+                f"grid axis '{name}' is not regular; use map_to_grid"
+            )
+    lat_step = float(glat[1] - glat[0]) if len(glat) > 1 else 1.0
+    lon_step = float(glon[1] - glon[0]) if len(glon) > 1 else 1.0
+    idx = snap_to_grid(
+        np.asarray(lats, dtype=float),
+        np.asarray(lons, dtype=float),
+        float(glat[0]),
+        lat_step,
+        len(glat),
+        float(glon[0]),
+        lon_step,
+        len(glon),
+    )
+    return bin_mean(idx, np.asarray(values, dtype=float), grid.size)
+
+
 def assign_to_grid(
     values: np.ndarray,
     grid_idx: np.ndarray,
