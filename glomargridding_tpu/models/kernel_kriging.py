@@ -300,6 +300,32 @@ def pad_month_observations(
     return idx_out, obs_out, err_out
 
 
+@partial(jax.jit, static_argnames=("kernel_fn", "n_blocks"))
+def _months_scan_jit(
+    kernel_fn, la, lo, idx_m, obs_m, err_m, variance, n_blocks: int
+):
+    m = la.shape[0]
+
+    def one_month(carry, inputs):
+        idx, y, E = inputs
+        field, _, _ = _kernel_kriging_jit(
+            kernel_fn,
+            la,
+            lo,
+            idx,
+            y,
+            E,
+            variance,
+            jnp.asarray(0.0, la.dtype),
+            "ordinary",
+            n_blocks,
+        )
+        return carry, field[:m]
+
+    _, fields = jax.lax.scan(one_month, None, (idx_m, obs_m, err_m))
+    return fields
+
+
 def months_scan_kriging(
     kernel_fn: Callable,
     grid_lats,
@@ -313,37 +339,20 @@ def months_scan_kriging(
     """Batch kriging over a stack of months with identical obs layouts.
 
     `idx_months` (T, n), `obs_months` (T, n), `error_cov_months`
-    (T, n, n): one compiled program maps over months (the ESA-CCI
+    (T, n, n): one compiled program scans over months (the ESA-CCI
     41-Marches configuration; months with differing obs counts should be
-    padded/bucketed by the caller). Returns fields (T, M).
+    padded/bucketed with ``pad_month_observations``). Returns fields
+    (T, M).
     """
     la = jnp.radians(jnp.asarray(grid_lats))
     lo = jnp.radians(jnp.asarray(grid_lons))
-    m = la.shape[0]
-
-    def one_month(carry, inputs):
-        idx, y, E = inputs
-        field, _, _ = _kernel_kriging_jit(
-            kernel_fn,
-            la,
-            lo,
-            idx,
-            y,
-            E,
-            jnp.asarray(variance, la.dtype),
-            jnp.asarray(0.0, la.dtype),
-            "ordinary",
-            n_blocks,
-        )
-        return carry, field[:m]
-
-    _, fields = jax.lax.scan(
-        one_month,
-        None,
-        (
-            jnp.asarray(idx_months),
-            jnp.asarray(obs_months),
-            jnp.asarray(error_cov_months),
-        ),
+    return _months_scan_jit(
+        kernel_fn,
+        la,
+        lo,
+        jnp.asarray(idx_months),
+        jnp.asarray(obs_months),
+        jnp.asarray(error_cov_months),
+        jnp.asarray(variance, la.dtype),
+        n_blocks,
     )
-    return fields
