@@ -1,0 +1,107 @@
+"""Matrix-free Chebyshev sqrt sampling vs exact factorisations."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from glomargridding_tpu.ops.sampling import (
+    chebyshev_apply,
+    chebyshev_sqrt_coeffs,
+    dense_matvec,
+    estimate_spectral_range,
+    kernel_matvec,
+    sample_mvn_chebyshev,
+)
+
+
+def _spd(rng, n=96, nugget=0.05):
+    pts = rng.uniform(0, 1, size=(n, 2))
+    d = np.linalg.norm(pts[:, None] - pts[None, :], axis=-1)
+    return np.exp(-d / 0.3) + nugget * np.eye(n)
+
+
+def test_chebyshev_sqrt_matches_eigh(rng):
+    cov = _spd(rng)
+    w = np.linalg.eigvalsh(cov)
+    lam_min, lam_max = float(w[0]) * 0.9, float(w[-1]) * 1.1
+    z = rng.normal(size=(cov.shape[0], 4))
+
+    coeffs = jnp.asarray(
+        chebyshev_sqrt_coeffs(lam_min, lam_max, 120), jnp.float64
+    )
+    y = np.asarray(
+        chebyshev_apply(
+            dense_matvec(jnp.asarray(cov), jnp.float64),
+            jnp.asarray(z),
+            coeffs,
+            lam_min,
+            lam_max,
+        )
+    )
+    # exact sqrtm via eigh
+    ww, vv = np.linalg.eigh(cov)
+    y_ref = (vv * np.sqrt(ww)) @ vv.T @ z
+    np.testing.assert_allclose(y, y_ref, rtol=1e-5, atol=1e-7)
+
+
+def test_sample_covariance_converges(rng):
+    cov = _spd(rng, n=48)
+    w = np.linalg.eigvalsh(cov)
+    draws = sample_mvn_chebyshev(
+        jax.random.key(0),
+        dense_matvec(jnp.asarray(cov, jnp.float32)),
+        48,
+        20_000,
+        float(w[0]) * 0.9,
+        float(w[-1]) * 1.1,
+        degree=80,
+    )
+    sample_cov = np.cov(np.asarray(draws).T)
+    # 20k draws: elementwise sampling error ~ 1/sqrt(20000) ~ 0.7%
+    assert np.abs(sample_cov - cov).max() < 0.08
+    np.testing.assert_allclose(
+        np.diag(sample_cov), np.diag(cov), rtol=0.1
+    )
+
+
+def test_kernel_matvec_matches_dense(rng):
+    n = 70
+    lats = jnp.asarray(rng.uniform(-60, 60, n))
+    lons = jnp.asarray(rng.uniform(-180, 180, n))
+
+    def kern(la1, lo1, la2, lo2):
+        a = (
+            jnp.sin((la1[:, None] - la2[None, :]) / 2) ** 2
+            + jnp.cos(la1)[:, None]
+            * jnp.cos(la2)[None, :]
+            * jnp.sin((lo1[:, None] - lo2[None, :]) / 2) ** 2
+        )
+        d = 2 * 6371.0 * jnp.arcsin(jnp.sqrt(jnp.clip(a, 0, 1)))
+        return jnp.exp(-d / 2000.0)
+
+    la = jnp.radians(lats)
+    lo = jnp.radians(lons)
+    dense = np.asarray(kern(la, lo, la, lo))
+    v = jnp.asarray(rng.normal(size=(n, 3)))
+    mv = kernel_matvec(kern, la, lo, n_blocks=4)
+    np.testing.assert_allclose(
+        np.asarray(mv(v)), dense @ np.asarray(v), rtol=1e-6, atol=1e-8
+    )
+
+
+def test_estimate_spectral_range(rng):
+    cov = _spd(rng)
+    w = np.linalg.eigvalsh(cov)
+    lam_min, lam_max = estimate_spectral_range(
+        dense_matvec(jnp.asarray(cov)), cov.shape[0], jax.random.key(1),
+        dtype=jnp.float64,
+    )
+    assert lam_max >= w[-1] * 0.99
+    assert lam_max <= w[-1] * 1.2
+    assert lam_min > 0
+
+
+def test_coeffs_reject_nonpositive_floor():
+    with pytest.raises(ValueError, match="lam_min"):
+        chebyshev_sqrt_coeffs(0.0, 1.0, 10)
