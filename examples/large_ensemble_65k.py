@@ -4,11 +4,12 @@ BASELINE.md benchmark config #5. A dense f32 Cholesky factor of the grid
 covariance alone (~17 GB) exceeds a v5e's HBM and the reference cannot
 attempt this size at all. Here:
 
-- the grid covariance is materialised ONCE in bf16 (8.4 GB, fits),
-  row-blocks built straight from the Matern kernel;
 - simulated states are drawn matrix-free: Chebyshev square-root matvecs
-  batched over all 100 members (one bandwidth-bound bf16 matmul per
-  polynomial degree, f32 accumulation);
+  where each matvec STREAMS covariance tiles straight from the Matern
+  kernel (kernel rebuild is cheaper than the matmul it feeds) — zero
+  covariance storage, ~200 MB peak at M = 64,800;
+- all 100 members share every matvec (one batched matmul per polynomial
+  degree);
 - the two-stage Morice perturbation reuses the streamed kernel-kriging
   solve for the ordinary field and the simple-kriged simulated obs.
 
@@ -30,7 +31,7 @@ import jax.scipy.linalg as jsl
 from glomargridding_tpu.ops.sampling import (
     chebyshev_sqrt_coeffs,
     chebyshev_apply,
-    dense_matvec,
+    kernel_matvec,
 )
 
 M_LAT, M_LON = 180, 360
@@ -39,7 +40,7 @@ N_MEMBERS = 100
 PSILL = 1.2
 NUGGET = 0.012  # spectral floor for the sqrt expansion
 RANGE_KM = 1200.0
-DEGREE = 120
+DEGREE = 48
 
 
 def kernel_block(la1, lo1, la2, lo2):
@@ -77,24 +78,26 @@ def main():
     la_b = la.reshape(n_blocks, -1)
     lo_b = lo.reshape(n_blocks, -1)
 
-    @jax.jit
-    def build_cov_bf16(la_b, lo_b):
-        def per_block(_, inputs):
-            la_blk, lo_blk = inputs
-            return None, kernel_block(la_blk, lo_blk, la, lo).astype(
-                jnp.bfloat16
-            )
-
-        _, blocks = jax.lax.scan(per_block, None, (la_b, lo_b))
-        return blocks.reshape(m, m)
-
     coeffs = jnp.asarray(
         chebyshev_sqrt_coeffs(NUGGET, PSILL + NUGGET + 0.1, DEGREE),
         jnp.float32,
     )
 
+    mv = kernel_matvec(kernel_block, la, lo, n_blocks=n_blocks)
+
     @jax.jit
-    def ensemble(la_b, lo_b, idx, y, err_diag, key):
+    def draw_states(key):
+        z = jax.random.normal(key, (m, N_MEMBERS), jnp.float32)
+        return chebyshev_apply(
+            mv,
+            z,
+            coeffs,
+            jnp.float32(NUGGET),
+            jnp.float32(PSILL + NUGGET + 0.1),
+        )  # (m, members)
+
+    @jax.jit
+    def krige_and_perturb(la_b, lo_b, idx, y, err_diag, states, key):
         la_o = la.reshape(-1)[idx]
         lo_o = lo.reshape(-1)[idx]
         K = kernel_block(la_o, lo_o, la_o, lo_o) + jnp.diag(err_diag)
@@ -104,19 +107,8 @@ def main():
         s = jnp.sum(u)
         uy = u @ y
 
-        cov16 = build_cov_bf16(la_b, lo_b)
-        k_state, k_obs = jax.random.split(key)
-        z = jax.random.normal(k_state, (m, N_MEMBERS), jnp.float32)
-        states = chebyshev_apply(
-            dense_matvec(cov16),
-            z,
-            coeffs,
-            jnp.float32(NUGGET),
-            jnp.float32(PSILL + NUGGET + 0.1),
-        )  # (m, members)
-
         obs_noise = jax.random.normal(
-            k_obs, (N_OBS, N_MEMBERS), jnp.float32
+            key, (N_OBS, N_MEMBERS), jnp.float32
         ) * jnp.sqrt(err_diag)[:, None]
         sim_obs = states[idx, :] + obs_noise
 
@@ -137,6 +129,20 @@ def main():
         sim_grid = sim_grid_b.reshape(m, N_MEMBERS)
         members = field[:, None] + (sim_grid - states)
         return field, members.T
+
+    def ensemble(la_b, lo_b, idx, y, err_diag, key):
+        import time as _t
+
+        k_state, k_obs = jax.random.split(key)
+        t = _t.perf_counter()
+        states = draw_states(k_state)
+        states.block_until_ready()
+        print(f"  chebyshev states x{N_MEMBERS}: {_t.perf_counter()-t:.2f}s")
+        t = _t.perf_counter()
+        out = krige_and_perturb(la_b, lo_b, idx, y, err_diag, states, k_obs)
+        jax.block_until_ready(out)
+        print(f"  krige + perturb: {_t.perf_counter()-t:.2f}s")
+        return out
 
     key = jax.random.key(0)
     t0 = time.perf_counter()
