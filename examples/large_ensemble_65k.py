@@ -4,12 +4,12 @@ BASELINE.md benchmark config #5. A dense f32 Cholesky factor of the grid
 covariance alone (~17 GB) exceeds a v5e's HBM and the reference cannot
 attempt this size at all. Here:
 
-- simulated states are drawn matrix-free: Chebyshev square-root matvecs
-  where each matvec STREAMS covariance tiles straight from the Matern
-  kernel (kernel rebuild is cheaper than the matmul it feeds) — zero
-  covariance storage, ~200 MB peak at M = 64,800;
-- all 100 members share every matvec (one batched matmul per polynomial
-  degree);
+- simulated states are drawn EXACTLY in the spectral domain: a
+  stationary kernel diagonalises in spherical harmonics, so 100 members
+  cost one (members x lm) x (lm x lat) einsum + an FFT over longitude —
+  no covariance matrix, no factorisation, milliseconds per batch
+  (ops/sphere.py; the general-kernel fallback is the Chebyshev sqrt
+  matvec in ops/sampling.py);
 - the two-stage Morice perturbation reuses the streamed kernel-kriging
   solve for the ordinary field and the simple-kriged simulated obs.
 
@@ -28,10 +28,9 @@ import jax
 import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 
-from glomargridding_tpu.ops.sampling import (
-    chebyshev_sqrt_coeffs,
-    chebyshev_apply,
-    kernel_matvec,
+from glomargridding_tpu.ops.sphere import (
+    SphericalHarmonicSampler,
+    matern_correlation,
 )
 
 M_LAT, M_LON = 180, 360
@@ -40,7 +39,6 @@ N_MEMBERS = 100
 PSILL = 1.2
 NUGGET = 0.012  # spectral floor for the sqrt expansion
 RANGE_KM = 1200.0
-DEGREE = 48
 
 
 def kernel_block(la1, lo1, la2, lo2):
@@ -78,23 +76,22 @@ def main():
     la_b = la.reshape(n_blocks, -1)
     lo_b = lo.reshape(n_blocks, -1)
 
-    coeffs = jnp.asarray(
-        chebyshev_sqrt_coeffs(NUGGET, PSILL + NUGGET + 0.1, DEGREE),
-        jnp.float32,
+    t0 = time.perf_counter()
+    sampler = SphericalHarmonicSampler(
+        matern_correlation(nu=0.5, range_km=RANGE_KM),
+        variance=PSILL,
+        lats_deg=np.asarray(lat),
+        lons_deg=np.asarray(lon),
+        nugget=NUGGET,
+    )
+    print(
+        f"SH sampler ready in {time.perf_counter() - t0:.1f}s "
+        f"(l_max {sampler.l_max}, retained variance "
+        f"{sampler.truncation_fraction:.4f})"
     )
 
-    mv = kernel_matvec(kernel_block, la, lo, n_blocks=n_blocks)
-
-    @jax.jit
     def draw_states(key):
-        z = jax.random.normal(key, (m, N_MEMBERS), jnp.float32)
-        return chebyshev_apply(
-            mv,
-            z,
-            coeffs,
-            jnp.float32(NUGGET),
-            jnp.float32(PSILL + NUGGET + 0.1),
-        )  # (m, members)
+        return sampler.draw(key, N_MEMBERS).T  # (m, members)
 
     @jax.jit
     def krige_and_perturb(la_b, lo_b, idx, y, err_diag, states, key):
@@ -137,7 +134,7 @@ def main():
         t = _t.perf_counter()
         states = draw_states(k_state)
         states.block_until_ready()
-        print(f"  chebyshev states x{N_MEMBERS}: {_t.perf_counter()-t:.2f}s")
+        print(f"  SH state draws x{N_MEMBERS}: {_t.perf_counter()-t:.2f}s")
         t = _t.perf_counter()
         out = krige_and_perturb(la_b, lo_b, idx, y, err_diag, states, k_obs)
         jax.block_until_ready(out)

@@ -21,11 +21,15 @@ members at once. The operator can be:
   tiles from the kernel per block — zero covariance storage, best when
   the kernel is cheap or memory is the binding constraint.
 
-Degree guidance: the sqrt expansion converges like
-:math:`\exp(-2 d \sqrt{a/b})`; with a nugget floor a/b ~ 1e-3, d ~ 100
-gives ~1e-3 relative accuracy. ``estimate_spectral_range`` bounds the
-spectrum by power iteration; always add a nugget/jitter floor to
-lam_min for estimated covariances.
+Spectral-interval guidance (IMPORTANT): lam_max must bound the MATRIX
+spectrum, which for a densely-sampled smooth kernel scales with the
+number of correlated neighbours (hundreds of times the sill for a
+1-degree global grid), NOT with the sill — always measure it with
+``estimate_spectral_range``. A nugget term C = C_smooth + nugget*I gives
+the exact floor lam_min = nugget. The sqrt expansion converges like
+:math:`\exp(-2 d \sqrt{a/b})`: pick degree ~ 4 sqrt(lam_max/lam_min)
+for ~3e-4 relative accuracy. Values of x OUTSIDE [lam_min, lam_max]
+make the polynomial diverge (NaN members) — bounds must be honest.
 """
 
 from functools import partial

@@ -1,0 +1,228 @@
+r"""Spherical-harmonic sampling of stationary Gaussian fields.
+
+Simulated-state draws for stochastic kriging need :math:`z \sim N(0, C)`
+with C built from an isotropic correlation on the sphere. Factorising C
+densely is O(M^3) and ~17 GB at the 1-degree scale; Chebyshev matvecs
+need O(sqrt(kappa)) iterations and long-range kernels are terribly
+conditioned (kappa ~ 1e5). For STATIONARY kernels there is an exact
+spectral route: an isotropic correlation diagonalises in spherical
+harmonics,
+
+.. math::
+    corr(\gamma) = \sum_l \frac{2l+1}{4\pi} \hat c_l P_l(\cos\gamma),
+
+so a field with iid coefficients :math:`a_{lm} \sim N(0, \hat c_l)` over
+an orthonormal real harmonic basis has covariance exactly
+:math:`corr(\gamma(x, y))` by the addition theorem. Synthesis on a
+regular lat-lon grid is one (members x l x m) x (l x m x lat) einsum on
+the MXU plus an FFT over longitude — milliseconds for 100 members at
+1 degree, independent of the kernel's correlation range.
+
+Truncation at l_max discards the spectrum tail; the retained variance
+fraction is reported (``truncation_fraction``) and the remaining
+variance can be folded into the nugget. The angular power is computed by
+Gauss-Legendre quadrature of the correlation function — any isotropic
+correlation works (Matern of any smoothness included).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def angular_power(corr_fn, l_max: int, n_quad: int = 2048) -> np.ndarray:
+    r"""Angular power spectrum \hat c_l of an isotropic correlation.
+
+    `corr_fn(gamma)` takes central angles in radians (vectorised numpy).
+    Returns \hat c_l for l = 0..l_max via Gauss-Legendre quadrature:
+    \hat c_l = 2 pi \int_{-1}^{1} corr(acos t) P_l(t) dt.
+    """
+    t, w = np.polynomial.legendre.leggauss(n_quad)
+    gamma = np.arccos(np.clip(t, -1.0, 1.0))
+    f = np.asarray(corr_fn(gamma), dtype=np.float64)
+
+    # Legendre recurrence over quadrature nodes
+    c = np.empty(l_max + 1)
+    p_prev = np.ones_like(t)
+    p_cur = t.copy()
+    c[0] = 2.0 * np.pi * np.sum(w * f * p_prev)
+    if l_max >= 1:
+        c[1] = 2.0 * np.pi * np.sum(w * f * p_cur)
+    for l in range(2, l_max + 1):
+        p_next = ((2 * l - 1) * t * p_cur - (l - 1) * p_prev) / l
+        c[l] = 2.0 * np.pi * np.sum(w * f * p_next)
+        p_prev, p_cur = p_cur, p_next
+    # tiny negative values from quadrature noise
+    return np.maximum(c, 0.0)
+
+
+def legendre_table(l_max: int, lats_deg) -> np.ndarray:
+    r"""Orthonormal associated Legendre functions at given latitudes.
+
+    Returns (l_max+1, l_max+1, n_lat) with entry [l, m, j] =
+    :math:`\tilde P_l^m(\sin(lat_j))`, normalised so the real harmonics
+    {P̃_l0, sqrt(2) P̃_lm cos(m lam), sqrt(2) P̃_lm sin(m lam)} are
+    orthonormal on the sphere. Stable diagonal-then-upward recurrence,
+    computed in f64.
+    """
+    x = np.sin(np.radians(np.asarray(lats_deg, dtype=np.float64)))
+    sx = np.sqrt(np.maximum(1.0 - x * x, 0.0))  # cos(lat)
+    n_lat = x.shape[0]
+    P = np.zeros((l_max + 1, l_max + 1, n_lat))
+    P[0, 0] = np.sqrt(1.0 / (4.0 * np.pi))
+    for m in range(1, l_max + 1):
+        P[m, m] = -np.sqrt((2 * m + 1) / (2.0 * m)) * sx * P[m - 1, m - 1]
+    for m in range(0, l_max):
+        P[m + 1, m] = x * np.sqrt(2 * m + 3.0) * P[m, m]
+    for m in range(0, l_max + 1):
+        for l in range(m + 2, l_max + 1):
+            a = np.sqrt((4.0 * l * l - 1.0) / (l * l - m * m))
+            b = np.sqrt(
+                ((l - 1.0) ** 2 - m * m) / (4.0 * (l - 1.0) ** 2 - 1.0)
+            )
+            P[l, m] = a * (x * P[l - 1, m] - b * P[l - 2, m])
+    return P
+
+
+@partial(jax.jit, static_argnames=("n_members", "n_lon"))
+def _synthesize(key, c_l, P_table, lon0_rad, n_members: int, n_lon: int):
+    """Draw coefficients and synthesize fields on the (lat, lon) grid."""
+    L = c_l.shape[0] - 1
+    std = jnp.sqrt(c_l)  # (L+1,)
+    kc, ks = jax.random.split(key)
+    # a[l, m] real/imag parts; variance c_l for each real basis function
+    a_cos = (
+        jax.random.normal(kc, (n_members, L + 1, L + 1), P_table.dtype)
+        * std[None, :, None]
+    )
+    a_sin = (
+        jax.random.normal(ks, (n_members, L + 1, L + 1), P_table.dtype)
+        * std[None, :, None]
+    )
+    # zero the unused upper triangle (m > l)
+    lm_valid = (
+        jnp.arange(L + 1)[:, None] >= jnp.arange(L + 1)[None, :]
+    ).astype(P_table.dtype)
+    a_cos = a_cos * lm_valid[None]
+    a_sin = a_sin * lm_valid[None]
+
+    # h[member, m, lat] = sum_l coeff * P̃_lm(lat)
+    h_cos = jnp.einsum("klm,lmj->kmj", a_cos, P_table)
+    h_sin = jnp.einsum("klm,lmj->kmj", a_sin, P_table)
+    sqrt2 = jnp.asarray(np.sqrt(2.0), P_table.dtype)
+    # m = 0 term real with unit weight; m > 0 with sqrt(2)
+    weights = jnp.concatenate(
+        [jnp.ones((1,), P_table.dtype), jnp.full((L,), sqrt2)]
+    )
+    h = (h_cos - 1j * h_sin) * weights[None, :, None]
+    # rotate to the grid's first longitude
+    m_arr = jnp.arange(L + 1)
+    h = h * jnp.exp(1j * m_arr * lon0_rad)[None, :, None]
+    # f[k, j, lon] = Re sum_m h[k, m, j] e^{2 pi i m q / n_lon}. Evaluating
+    # at n_lon equispaced longitudes, modes fold exactly modulo n_lon
+    # (e^{2 pi i m q / n} depends only on m mod n), so scatter-add into
+    # the FFT spectrum is exact even when l_max + 1 > n_lon.
+    spec = jnp.zeros(
+        (h.shape[0], n_lon, h.shape[2]), dtype=h.dtype
+    )
+    spec = spec.at[:, m_arr % n_lon, :].add(h)
+    f = jnp.real(jnp.fft.ifft(spec, axis=1)) * n_lon
+    # m=0 double-counted relative to Re(sum over +-m)? No: we summed only
+    # m >= 0 with the real-part convention, which is exactly the real
+    # harmonic expansion.
+    return jnp.transpose(f, (0, 2, 1))  # (members, lat, lon)
+
+
+class SphericalHarmonicSampler:
+    """Exact stationary-field sampler on a regular lat-lon grid.
+
+    Parameters
+    ----------
+    corr_fn : callable
+        Isotropic correlation as a function of central angle (radians),
+        numpy-vectorised; corr_fn(0) should be 1.
+    variance : float
+        Point variance (psill) scaling the field.
+    lats_deg, lons_deg : array
+        Regular grid axes (longitudes equally spaced over the circle).
+    l_max : int | None
+        Spectral truncation; default min(3 * n_lat, 720).
+    nugget : float
+        Independent white-noise variance added per grid point.
+    """
+
+    def __init__(
+        self,
+        corr_fn,
+        variance: float,
+        lats_deg,
+        lons_deg,
+        l_max: int | None = None,
+        nugget: float = 0.0,
+        n_quad: int = 4096,
+        dtype=jnp.float32,
+    ):
+        lats_deg = np.asarray(lats_deg)
+        lons_deg = np.asarray(lons_deg)
+        self.n_lat = len(lats_deg)
+        self.n_lon = len(lons_deg)
+        if l_max is None:
+            l_max = min(3 * self.n_lat, 720)
+        self.l_max = l_max
+        self.variance = float(variance)
+        self.nugget = float(nugget)
+
+        c_l = angular_power(corr_fn, l_max, n_quad)
+        total = np.sum((2 * np.arange(l_max + 1) + 1) * c_l) / (4 * np.pi)
+        # corr_fn(0) is the full variance of the continuum process; the
+        # truncated series reproduces `total` of it.
+        self.truncation_fraction = float(total / corr_fn(np.zeros(1))[0])
+        self.c_l = jnp.asarray(variance * c_l, dtype)
+        self.P_table = jnp.asarray(legendre_table(l_max, lats_deg), dtype)
+        self.lon0_rad = float(np.radians(lons_deg[0]))
+        self._dtype = dtype
+
+    def draw(self, key, n_members: int):
+        """(n_members, n_lat * n_lon) stationary field draws."""
+        if self.nugget > 0.0:
+            key, kn = jax.random.split(key)
+        fields = _synthesize(
+            key,
+            self.c_l,
+            self.P_table,
+            jnp.asarray(self.lon0_rad, self._dtype),
+            n_members,
+            self.n_lon,
+        )
+        flat = fields.reshape(n_members, self.n_lat * self.n_lon)
+        if self.nugget > 0.0:
+            flat = flat + jnp.sqrt(
+                jnp.asarray(self.nugget, self._dtype)
+            ) * jax.random.normal(kn, flat.shape, self._dtype)
+        return flat
+
+
+def matern_correlation(nu: float, range_km: float, radius_km: float = 6371.0):
+    """Isotropic Matern correlation of the central angle (sklearn form).
+
+    Returns a numpy-vectorised gamma -> corr function for use with
+    ``SphericalHarmonicSampler`` (great-circle distance = radius * gamma).
+    """
+    from scipy.special import gamma as sgamma
+    from scipy.special import kv as skv
+
+    def corr(gamma):
+        d = radius_km * np.asarray(gamma, dtype=np.float64)
+        inner = np.sqrt(2.0 * nu) * d / range_km
+        with np.errstate(invalid="ignore", over="ignore"):
+            out = (
+                (2.0 ** (1.0 - nu) / sgamma(nu))
+                * np.power(inner, nu)
+                * skv(nu, inner)
+            )
+        out = np.where(inner == 0.0, 1.0, out)
+        return np.nan_to_num(out, nan=0.0)
+
+    return corr

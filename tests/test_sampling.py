@@ -105,3 +105,36 @@ def test_estimate_spectral_range(rng):
 def test_coeffs_reject_nonpositive_floor():
     with pytest.raises(ValueError, match="lam_min"):
         chebyshev_sqrt_coeffs(0.0, 1.0, 10)
+
+
+def test_degree_guidance_formula(rng):
+    """degree ~ 4 sqrt(b/a) achieves <1e-3 sqrt error on the interval."""
+    a, b = 0.05, 60.0
+    degree = int(4.0 * np.sqrt(b / a))
+    coeffs = chebyshev_sqrt_coeffs(a, b, degree)
+    x = np.linspace(a, b, 500)
+    # evaluate expansion directly
+    t = (2 * x - (b + a)) / (b - a)
+    vals = np.polynomial.chebyshev.chebval(t, coeffs)
+    rel = np.abs(vals - np.sqrt(x)) / np.sqrt(x)
+    assert rel.max() < 1e-3
+
+
+def test_out_of_interval_diverges(rng):
+    """Underestimating lam_max (e.g. using the sill instead of the matrix
+    spectral bound) makes the polynomial blow up — the failure mode the
+    spectral-range estimator exists to prevent."""
+    cov = _spd(rng, n=64)
+    w = np.linalg.eigvalsh(cov)
+    bad_lam_max = float(w[-1]) * 0.2  # too small
+    draws = sample_mvn_chebyshev(
+        jax.random.key(0),
+        dense_matvec(jnp.asarray(cov, jnp.float32)),
+        64,
+        8,
+        float(w[0]) * 0.9,
+        bad_lam_max,
+        degree=60,
+    )
+    arr = np.asarray(draws)
+    assert (~np.isfinite(arr)).any() or np.abs(arr).max() > 100  # diverged
