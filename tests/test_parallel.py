@@ -97,3 +97,46 @@ def test_graft_entry_roundtrip():
     assert all(np.isfinite(np.asarray(o)).all() for o in out)
 
     mod.dryrun_multichip(8)
+
+
+def test_sharded_kernel_kriging_matches_single(rng):
+    from glomargridding_tpu.models.kernel_kriging import (
+        kriging_from_kernel,
+        variogram_kernel,
+    )
+    from glomargridding_tpu.ops.variogram import MaternVariogram
+    from glomargridding_tpu.parallel.kernel_kriging import (
+        sharded_kriging_from_kernel,
+    )
+
+    # 8-divisible grid
+    lat = np.arange(-82.5, 90, 15.0)  # 12
+    lon = np.arange(-172.5, 180, 22.5)  # 16
+    glat = np.repeat(lat, 16)
+    glon = np.tile(lon, 12)
+    m = len(glat)  # 192
+    idx = np.sort(rng.choice(m, 15, replace=False))
+    obs = rng.normal(size=15)
+    err = np.diag(0.1 + 0.05 * rng.random(15))
+
+    vario = MaternVariogram(psill=1.2, nugget=0.0, range=2500.0, nu=1.5)
+    kernel = variogram_kernel(vario)
+    mesh = make_mesh(n_grid=8, n_ens=1)
+    field, uncert2, cmask = sharded_kriging_from_kernel(
+        mesh, kernel, glat, glon, idx, obs, err, variance=1.2
+    )
+
+    single = kriging_from_kernel(
+        kernel, glat, glon, idx, obs, err, variance=1.2, n_blocks=4
+    )
+    np.testing.assert_allclose(
+        np.asarray(field), np.asarray(single.field), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.sqrt(np.clip(np.asarray(uncert2), 0, None)),
+        np.asarray(single.uncertainty),
+        rtol=1e-5,
+        atol=1e-7,
+    )
+    shard_devs = {s.device for s in field.addressable_shards}
+    assert len(shard_devs) == 8

@@ -72,7 +72,7 @@ def test_sample_covariance_matches_kernel(rng):
     )
     assert sampler.truncation_fraction > 0.999
 
-    draws = np.asarray(sampler.draw(jax.random.key(0), 20_000))
+    draws = np.asarray(sampler.draw(jax.random.key(0), 12_000))
     sample_cov = np.cov(draws.T)
 
     glat = np.repeat(lats, len(lons))
@@ -88,8 +88,8 @@ def test_sample_covariance_matches_kernel(rng):
     gamma = 2 * np.arcsin(np.sqrt(np.clip(a, 0, 1)))
     expected = 2.0 * corr(gamma)
 
-    # 20k draws -> sampling noise ~ 2/sqrt(20000) ~ 1.5%
-    assert np.abs(sample_cov - expected).max() < 0.12
+    # 12k draws -> sampling noise ~ 2/sqrt(12000) ~ 2%
+    assert np.abs(sample_cov - expected).max() < 0.15
     np.testing.assert_allclose(
         np.diag(sample_cov), np.diag(expected), rtol=0.05
     )
@@ -105,8 +105,8 @@ def test_nugget_adds_independent_variance(rng):
     s1 = SphericalHarmonicSampler(
         corr, 1.0, lats, lons, l_max=64, nugget=0.5
     )
-    d0 = np.asarray(s0.draw(jax.random.key(1), 15_000))
-    d1 = np.asarray(s1.draw(jax.random.key(1), 15_000))
+    d0 = np.asarray(s0.draw(jax.random.key(1), 8_000))
+    d1 = np.asarray(s1.draw(jax.random.key(1), 8_000))
     v0 = d0.var(axis=0).mean()
     v1 = d1.var(axis=0).mean()
-    assert abs(v1 - v0 - 0.5) < 0.05
+    assert abs(v1 - v0 - 0.5) < 0.08
