@@ -76,13 +76,14 @@ def legendre_table(l_max: int, lats_deg) -> np.ndarray:
         P[m, m] = -np.sqrt((2 * m + 1) / (2.0 * m)) * sx * P[m - 1, m - 1]
     for m in range(0, l_max):
         P[m + 1, m] = x * np.sqrt(2 * m + 3.0) * P[m, m]
-    for m in range(0, l_max + 1):
-        for l in range(m + 2, l_max + 1):
-            a = np.sqrt((4.0 * l * l - 1.0) / (l * l - m * m))
-            b = np.sqrt(
-                ((l - 1.0) ** 2 - m * m) / (4.0 * (l - 1.0) ** 2 - 1.0)
-            )
-            P[l, m] = a * (x * P[l - 1, m] - b * P[l - 2, m])
+    # upward recurrence in l, vectorised over all valid m at once
+    for l in range(2, l_max + 1):
+        m = np.arange(0, l - 1)
+        a = np.sqrt((4.0 * l * l - 1.0) / (l * l - m * m))[:, None]
+        b = np.sqrt(
+            ((l - 1.0) ** 2 - m * m) / (4.0 * (l - 1.0) ** 2 - 1.0)
+        )[:, None]
+        P[l, : l - 1] = a * (x[None, :] * P[l - 1, : l - 1] - b * P[l - 2, : l - 1])
     return P
 
 
