@@ -86,9 +86,9 @@ def map_to_grid(
             obs[grid_prefix + obs_coord] = vals
 
     if sort:
-        obs = obs.sort_values("grid_idx", kind="stable").reset_index(
-            drop=True
-        )
+        obs = obs.sort_values(
+            grid_prefix + "idx", kind="stable"
+        ).reset_index(drop=True)
     return obs
 
 

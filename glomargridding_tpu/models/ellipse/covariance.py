@@ -251,25 +251,17 @@ class EllipseCovarianceBuilder:
 
         self.v = float(v)
         self.precision = precision
-        self.Lx = np.ma.MaskedArray(np.asarray(Lx, dtype=precision))
-        self.Ly = np.ma.MaskedArray(np.asarray(Ly, dtype=precision))
-        self.theta = np.ma.MaskedArray(np.asarray(theta, dtype=precision))
-        self.stdev = np.ma.MaskedArray(np.asarray(stdev, dtype=precision))
-        if isinstance(Lx, np.ma.MaskedArray):
-            self.Lx = np.ma.MaskedArray(
-                np.asarray(np.ma.getdata(Lx), precision), np.ma.getmaskarray(Lx)
+
+        def as_masked(arr):
+            return np.ma.MaskedArray(
+                np.asarray(np.ma.getdata(arr), dtype=precision),
+                np.ma.getmaskarray(arr),
             )
-            self.Ly = np.ma.MaskedArray(
-                np.asarray(np.ma.getdata(Ly), precision), np.ma.getmaskarray(Ly)
-            )
-            self.theta = np.ma.MaskedArray(
-                np.asarray(np.ma.getdata(theta), precision),
-                np.ma.getmaskarray(theta),
-            )
-            self.stdev = np.ma.MaskedArray(
-                np.asarray(np.ma.getdata(stdev), precision),
-                np.ma.getmaskarray(stdev),
-            )
+
+        self.Lx = as_masked(Lx)
+        self.Ly = as_masked(Ly)
+        self.theta = as_masked(theta)
+        self.stdev = as_masked(stdev)
         self.max_dist = max_dist
         self.delta_x_method = delta_x_method
         self.lats = np.asarray(lats, dtype=precision)

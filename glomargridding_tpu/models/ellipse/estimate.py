@@ -349,6 +349,12 @@ class EllipseBuilder:
         Dataset of parameter fields (qc_code semantics: 0 ok / 1 lower
         bound / 2 upper bound / 3 multiple bounds / 9 no convergence or
         no training data).
+
+        `estimate_SE` / `n_jobs` / `n_sim` are accepted for signature
+        parity but ignored here: the reference's whole-grid loop also
+        discards any per-point standard errors (only ModelParams are
+        scattered into the output fields); use ``fit_ellipse_model`` for
+        a single point's bootstrap SE.
         """
         if opt_method != "Nelder-Mead":
             raise ValueError("Only Nelder-Mead is supported")

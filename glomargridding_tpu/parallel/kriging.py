@@ -80,7 +80,9 @@ def ensemble_kriging_step(
     One replicated factorisation of K = C_obs + E; per-member perturbation
     draws and their simple-kriged fields are batched over the ``ens`` axis
     while every grid-sized array stays sharded over ``grid``. Returns
-    (members (n_members, M), field (M,), uncert2 (M,)).
+    (members (n_members, M), field (M,), uncert2 (M,)). Both `covariance`
+    and `error_cov` must be symmetric positive-definite (their Cholesky
+    factors drive the draws).
 
     This is the framework's "training step" analog — the full production
     computation for one month of a HadCRUT-style ensemble.
