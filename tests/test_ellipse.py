@@ -368,3 +368,97 @@ def test_ellipse_fit_bootstrap_se(rng):
     assert SE is not None and SE.shape == (2,)  # R + likelihood sigma
     res2, SE2, _ = m.fit(d, y, estimate_SE=None)
     assert SE2 is None
+
+
+def _synthetic_builder(rng, size=(8, 10), n=3000, range_km=1500.0):
+    """Training cube drawn from a known isotropic covariance."""
+    lats = np.linspace(-21.0, 21.0, size[0]).astype(np.float32)
+    lons = np.linspace(0.0, 27.0, size[1]).astype(np.float32)
+    builder_cov = _initialise_covariance(
+        Lx=range_km, Ly=range_km, theta=0.0, stdev=1.0, v=0.5,
+        size=size,
+    )
+    data = rng.multivariate_normal(
+        np.zeros(builder_cov.shape[0]), builder_cov, size=n
+    ).reshape((n, *size))
+    coords = Coordinates(
+        {"time": np.arange(n), "latitude": lats, "longitude": lons}
+    )
+    return EllipseBuilder(data, coords), lats, lons
+
+
+def test_ellipse_isotropic_compute_params(rng):
+    """Isotropic (1-parameter) fits through the batched path."""
+    builder, lats, lons = _synthetic_builder(rng)
+    iso = EllipseModel(
+        anisotropic=False, rotated=False, physical_distance=True,
+        v=0.5, unit_sigma=True,
+    )
+    params = builder.compute_params(
+        default_value=[-999.0] * iso.supercategory_n_params,
+        matern_ellipse=iso,
+        bounds=[(100.0, 20000.0)],
+        guesses=[500.0],
+        max_distance=8000.0,
+        delta_x_method="Modified_Met_Office",
+    )
+    R = params["R"].values
+    fitted = R[R > 0]
+    assert len(fitted) == builder.small_covar_size
+    # radii should be broadly near the generating scale
+    assert 200.0 < np.median(fitted) < 20000.0
+    assert "qc_code" in params
+
+
+def test_ellipse_degrees_mode_fit(rng):
+    """Non-physical-distance (degrees) fform exercises the degree-norm
+    selection branch."""
+    builder, lats, lons = _synthetic_builder(rng)
+    deg_model = EllipseModel(
+        anisotropic=True, rotated=True, physical_distance=False,
+        v=0.5, unit_sigma=True,
+    )
+    params = builder.compute_params(
+        default_value=[-999.0] * deg_model.supercategory_n_params,
+        matern_ellipse=deg_model,
+        max_distance=60.0,  # degrees
+        min_distance=0.1,
+        delta_x_method=None,
+        guesses=[5.0, 5.0, 0.0],
+        bounds=[(0.5, 50.0), (0.5, 30.0), (-2 * np.pi, 2 * np.pi)],
+        physical_distance_selection=False,
+    )
+    Lx = params["Lx"].values
+    fitted = Lx[Lx > 0]
+    assert len(fitted) == builder.small_covar_size
+    assert (fitted <= 50.0 + 1e-6).all()
+
+
+def test_ellipse_single_point_parity(rng):
+    """fit_ellipse_model (single point) agrees with the batched fit."""
+    builder, lats, lons = _synthetic_builder(rng, n=2000)
+    model = EllipseModel(
+        anisotropic=True, rotated=True, physical_distance=True,
+        v=0.5, unit_sigma=True,
+    )
+    kwargs = dict(
+        matern_ellipse=model,
+        max_distance=8000.0,
+        guesses=[500.0, 500.0, 0.0],
+        bounds=[(100.0, 20000.0), (100.0, 20000.0),
+                (-2 * np.pi, 2 * np.pi)],
+        delta_x_method="Modified_Met_Office",
+    )
+    single = builder.fit_ellipse_model(xy_point=12, tol=1e-4, **kwargs)
+    assert single is not None
+    batched = builder.compute_params(
+        default_value=[-999.0] * model.supercategory_n_params,
+        tol=1e-4,
+        **kwargs,
+    )
+    gi, gj = builder.xi_masked[12], builder.yi_masked[12]
+    lx_b = batched["Lx"].values[gj, gi]
+    ly_b = batched["Ly"].values[gj, gi]
+    # same optimum within NM tolerance scales
+    np.testing.assert_allclose(single["ModelParams"][0], lx_b, rtol=0.05)
+    np.testing.assert_allclose(single["ModelParams"][1], ly_b, rtol=0.05)
