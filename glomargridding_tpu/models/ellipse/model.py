@@ -26,7 +26,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...ops.optim import batched_nelder_mead, nelder_mead
+from ...ops.optim import (
+    batched_nelder_mead,
+    lbfgs_minimize,
+    nelder_mead,
+)
 from ...ops.special import kv_nan_guard
 from ...types import FForm, ModelType, SuperCategory
 from ...utils.frames import deg_to_km
@@ -365,44 +369,73 @@ class EllipseModel:
     ):
         """MLE fit; returns (NMResult, SE | None, bounds).
 
-        `opt_method` accepts only "Nelder-Mead" (the Karspeck method; the
-        batched JAX simplex solver replaces scipy). `tol` sets both xatol
-        and fatol, as scipy does for NM. `estimate_SE` in
-        {"bootstrap_serial", "bootstrap_parallel"} runs `n_sim` bootstrap
-        refits — here both map to the same vmapped batch (`n_jobs` /
-        `backend` accepted for signature parity, ignored).
+        `opt_method`: "Nelder-Mead" (the Karspeck method, default) or
+        "L-BFGS-B" — gradient-based, possible here because the entire
+        likelihood (Matern K_nu included) is differentiable JAX; the
+        reference explicitly cannot ("autograd does not work with
+        scipy's Bessel functions"). `tol` sets both xatol and fatol for
+        NM, or the gradient-norm tolerance for L-BFGS. `estimate_SE` in
+        {"bootstrap_serial", "bootstrap_parallel"} runs `n_sim`
+        bootstrap refits — both map to the same vmapped batch (`n_jobs`
+        / `backend` accepted for signature parity, ignored) — or
+        "hessian" for Fisher-information standard errors via the
+        autodiff Hessian at the optimum (NotImplementedError in the
+        reference, ``model.py:539-544``).
         """
-        if opt_method != "Nelder-Mead":
-            raise ValueError(
-                "Only Nelder-Mead is supported (Karspeck et al. 2012 method)"
-            )
         x0, (lo, hi), bounds_out = self._fit_setup(guesses, bounds)
         tol = 1e-4 if tol is None else tol
         Xj = jnp.asarray(X)
         yj = jnp.asarray(y)
 
-        result = nelder_mead(
-            lambda p: self.nll(p, Xj, yj),
-            x0,
-            bounds=(lo, hi),
-            xatol=tol,
-            fatol=tol,
-        )
+        if opt_method == "Nelder-Mead":
+            result = nelder_mead(
+                lambda p: self.nll(p, Xj, yj),
+                x0,
+                bounds=(lo, hi),
+                xatol=tol,
+                fatol=tol,
+            )
+        elif opt_method in ("L-BFGS-B", "L-BFGS", "lbfgs"):
+            result = lbfgs_minimize(
+                lambda p: self.nll(p, Xj, yj),
+                x0,
+                bounds=(lo, hi),
+                tol=tol,
+            )
+        else:
+            raise ValueError(
+                "opt_method must be 'Nelder-Mead' or 'L-BFGS-B'"
+            )
 
         if estimate_SE is None:
             return result, None, bounds_out
+        if estimate_SE == "hessian":
+            return (
+                result,
+                self._hessian_se(Xj, yj, jnp.asarray(result.x)),
+                bounds_out,
+            )
         if estimate_SE not in ("bootstrap_serial", "bootstrap_parallel"):
-            if estimate_SE == "hessian":
-                raise NotImplementedError(
-                    "Second order deriviative (Hessian) of "
-                    "Fisher Information not implemented"
-                )
             raise ValueError(f"Unknown estimate_SE value: {estimate_SE}")
 
         SE = self._bootstrap_se(
             Xj, yj, x0, (lo, hi), tol, n_sim, random_seed
         )
         return result, SE, bounds_out
+
+    def _hessian_se(self, X, y, x_opt):
+        """Fisher-information standard errors: sqrt(diag(H^{-1})).
+
+        H is the autodiff Hessian of the negative log-likelihood at the
+        optimum — available because K_nu is differentiable JAX.
+        Non-positive-curvature directions yield NaN.
+        """
+        H = jax.hessian(lambda p: self.nll(p, X, y))(x_opt)
+        cov = jnp.linalg.inv(H)
+        diag = jnp.diagonal(cov)
+        return np.asarray(
+            jnp.sqrt(jnp.where(diag > 0, diag, jnp.nan))
+        )
 
     def _bootstrap_se(self, X, y, x0, bounds, tol, n_sim, seed):
         """Bootstrap refits, vmapped over resample keys."""

@@ -66,7 +66,12 @@ def _kv_temme_small(v_mu: float, x, max_iter: int = 50):
     x2 = x * x / 4.0
     d_log = -jnp.log(x / 2.0)
     e = mu * d_log
-    fact2 = jnp.where(jnp.abs(e) < 1e-12, jnp.ones_like(e), jnp.sinh(e) / e)
+    # safe-denominator form keeps the gradient finite at e == 0 (a bare
+    # where() with sinh(e)/e in the untaken branch leaks NaN cotangents)
+    e_safe = jnp.where(jnp.abs(e) < 1e-12, jnp.ones_like(e), e)
+    fact2 = jnp.where(
+        jnp.abs(e) < 1e-12, jnp.ones_like(e), jnp.sinh(e_safe) / e_safe
+    )
     ff0 = fact * (gam1 * jnp.cosh(e) + gam2 * fact2 * d_log)
     ee = jnp.exp(e)
     p0 = 0.5 * ee / gampl
@@ -187,12 +192,13 @@ def _kv_general(v: float, x, series_iters: int = 50, cf_iters: int = 60):
     n = int(v + 0.5)
     mu = v - n  # |mu| <= 1/2
 
-    x_small = jnp.minimum(x, 2.0)
-    x_large = jnp.maximum(x, 2.0)
+    # where-based clamping (not min/max): jnp.minimum splits gradients
+    # 50/50 at the exact tie x == 2, halving dK/dx at the branch switch.
+    use_small = x <= 2.0
+    x_small = jnp.where(use_small, x, 2.0)
+    x_large = jnp.where(use_small, 2.0, x)
     ks_mu, ks_mu1 = _kv_temme_small(mu, x_small, series_iters)
     kl_mu, kl_mu1 = _kv_steed_large(mu, x_large, cf_iters)
-
-    use_small = x <= 2.0
     k_mu = jnp.where(use_small, ks_mu, kl_mu)
     k_mu1 = jnp.where(use_small, ks_mu1, kl_mu1)
 

@@ -462,3 +462,39 @@ def test_ellipse_single_point_parity(rng):
     # same optimum within NM tolerance scales
     np.testing.assert_allclose(single["ModelParams"][0], lx_b, rtol=0.05)
     np.testing.assert_allclose(single["ModelParams"][1], ly_b, rtol=0.05)
+
+
+def test_ellipse_lbfgs_and_hessian_se(rng):
+    """Gradient-based fit reaches the same optimum as Nelder-Mead, and
+    Fisher-information SEs (autodiff Hessian) are finite and comparable
+    to bootstrap SEs. The reference cannot do either (scipy Bessel is
+    not differentiable; estimate_SE='hessian' raises)."""
+    from scipy.special import kv as skv
+
+    m = EllipseModel(
+        anisotropic=False, rotated=False, physical_distance=False,
+        v=0.5, unit_sigma=False,
+    )
+    R_true = 9.0
+    d = rng.uniform(0.5, 25.0, 400)
+    inner = 2.0 * (d / R_true) * np.sqrt(0.5)
+    y = inner**0.5 * skv(0.5, inner) / np.sqrt(np.pi / 2)
+    y = np.clip(y + rng.normal(0, 0.02, 400), -0.999, 0.999)
+
+    res_nm, se_boot, _ = m.fit(
+        d, y, estimate_SE="bootstrap_parallel", n_sim=64
+    )
+    res_lb, se_hess, _ = m.fit(
+        d, y, opt_method="L-BFGS-B", estimate_SE="hessian", tol=1e-8
+    )
+    assert bool(res_lb.success)
+    np.testing.assert_allclose(
+        float(res_lb.x[0]), float(res_nm.x[0]), rtol=0.02
+    )
+    assert np.isfinite(se_hess).all()
+    # same order of magnitude as the bootstrap estimate for R
+    ratio = se_hess[0] / se_boot[0]
+    assert 0.2 < ratio < 5.0
+
+    with pytest.raises(ValueError, match="opt_method"):
+        m.fit(d, y, opt_method="Powell", estimate_SE=None)

@@ -63,3 +63,39 @@ def test_maxiter_reports_failure():
     )
     assert not bool(res.success)
     assert int(res.nit) == 3
+
+
+def test_lbfgs_bounded_quadratic():
+    from glomargridding_tpu.ops.optim import lbfgs_minimize
+
+    def f(x):
+        return jnp.sum((x - 5.0) ** 2)
+
+    lo = jnp.array([0.0, 0.0])
+    hi = jnp.array([2.0, 2.0])
+    res = lbfgs_minimize(f, jnp.array([1.0, 1.0]), bounds=(lo, hi))
+    np.testing.assert_allclose(np.asarray(res.x), [2.0, 2.0], atol=1e-2)
+
+    # interior optimum found precisely
+    res2 = lbfgs_minimize(
+        f, jnp.array([1.0, 1.0]), bounds=(lo, jnp.array([10.0, 10.0]))
+    )
+    assert bool(res2.success)
+    np.testing.assert_allclose(np.asarray(res2.x), [5.0, 5.0], atol=1e-4)
+
+
+def test_batched_lbfgs(rng):
+    from glomargridding_tpu.ops.optim import batched_lbfgs
+
+    centres = jnp.asarray(rng.uniform(-3, 3, size=(32, 3)))
+
+    def f(x, c):
+        return jnp.sum((x - c) ** 2)
+
+    x0 = jnp.zeros((32, 3))
+    lo = jnp.full(3, -10.0)
+    hi = jnp.full(3, 10.0)
+    res = batched_lbfgs(f, x0, (centres,), (lo, hi), tol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(res.x), np.asarray(centres), atol=1e-3
+    )
