@@ -300,17 +300,26 @@ class EllipseModel:
         +-0.999999 before the Fisher transform — the reference warns and
         fudges at the same threshold (``model.py:326-373``).
         """
+        X = jnp.asarray(X)
         sigma = (
-            jnp.asarray(1.0, jnp.asarray(X).dtype)
+            jnp.asarray(1.0, X.dtype)
             if self.unit_sigma
             else params[self.n_params]
         )
         y = jnp.asarray(y)
-        y_ll = self._model_correlation(jnp.asarray(X), params)
         if weights is not None:
-            # keep masked lanes finite before transforms
-            y_ll = jnp.where(weights > 0, y_ll, 0.0)
-            y = jnp.where(weights > 0, y, 0.0)
+            # Replace masked displacements with a benign value BEFORE the
+            # kernel: masked lanes include the zero-displacement origin,
+            # where K_nu is +inf — sanitising after the fact keeps the
+            # VALUE finite but leaks NaN through the gradient (the
+            # untaken where() branch), which matters for the L-BFGS path.
+            wmask = weights > 0
+            wsel = wmask[..., None] if X.ndim == weights.ndim + 1 else wmask
+            X = jnp.where(wsel, X, jnp.ones_like(X))
+        y_ll = self._model_correlation(X, params)
+        if weights is not None:
+            y_ll = jnp.where(wmask, y_ll, 0.0)
+            y = jnp.where(wmask, y, 0.0)
         y_ll = jnp.nan_to_num(y_ll, nan=0.0)
         if arctanh_transform:
             y = jnp.clip(y, -ARCTANH_THRESHOLD, ARCTANH_THRESHOLD)

@@ -498,3 +498,32 @@ def test_ellipse_lbfgs_and_hessian_se(rng):
 
     with pytest.raises(ValueError, match="opt_method"):
         m.fit(d, y, opt_method="Powell", estimate_SE=None)
+
+
+def test_compute_params_lbfgs_matches_nm(rng):
+    """Whole-grid gradient fits land on the same optima as Nelder-Mead."""
+    builder, lats, lons = _synthetic_builder(rng, size=(6, 8), n=2000)
+    model = EllipseModel(
+        anisotropic=True, rotated=True, physical_distance=True,
+        v=0.5, unit_sigma=True,
+    )
+    kwargs = dict(
+        default_value=[-999.0] * model.supercategory_n_params,
+        matern_ellipse=model,
+        max_distance=8000.0,
+        guesses=[500.0, 500.0, 0.0],
+        bounds=[(100.0, 20000.0), (100.0, 20000.0),
+                (-2 * np.pi, 2 * np.pi)],
+        delta_x_method="Modified_Met_Office",
+    )
+    p_nm = builder.compute_params(tol=1e-5, **kwargs)
+    p_lb = builder.compute_params(
+        tol=1e-5, opt_method="L-BFGS-B", **kwargs
+    )
+    sel = p_nm["Lx"].values > 0
+    np.testing.assert_allclose(
+        p_lb["Lx"].values[sel], p_nm["Lx"].values[sel], rtol=0.05
+    )
+    np.testing.assert_allclose(
+        p_lb["Ly"].values[sel], p_nm["Ly"].values[sel], rtol=0.05
+    )
