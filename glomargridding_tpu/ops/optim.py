@@ -181,9 +181,12 @@ def lbfgs_minimize(
     Gradient-based alternative to Nelder-Mead — usable here because the
     whole likelihood (including the Matern K_nu) is differentiable JAX;
     the reference cannot offer this ("autograd does not work with
-    scipy's Bessel functions", reference ``model.py:540``). Typically
-    converges in ~20-40 evaluations vs several hundred for the simplex.
-    Traceable/vmappable; returns the same NMResult structure.
+    scipy's Bessel functions", reference ``model.py:540``). Converges in
+    far fewer iterations than the simplex, though each costs a
+    linesearch (several value+grad evaluations) and vmapped batches
+    synchronise on the slowest lane — prefer NM for batched throughput,
+    L-BFGS for single fits, gradient access, and Hessian standard
+    errors. Traceable/vmappable; returns the same NMResult structure.
     """
     import optax
 
