@@ -289,6 +289,53 @@ class StochasticKriging(Kriging):
         return self.gridded_field + self.epsilon
 
 
+def precompute_states(
+    key,
+    n_states: int,
+    covariance=None,
+    corr_fn=None,
+    variance: float | None = None,
+    lats_deg=None,
+    lons_deg=None,
+    nugget: float = 0.0,
+):
+    """Pre-compute a batch of simulated states for StochasticKriging.
+
+    The reference recommends precomputing states because one draw costs
+    as much as two hundred (``stochastic.py:344-349``). Two routes:
+
+    - dense: pass `covariance` — one Cholesky factor, vmapped L@z draws
+      (right up to ~30k states on a 16 GB chip);
+    - spectral: pass `corr_fn` (isotropic correlation of central angle),
+      `variance`, and the regular `lats_deg`/`lons_deg` grid — EXACT
+      stationary draws by spherical-harmonic synthesis at any grid size
+      (see ``ops.sphere``).
+
+    Returns (n_states, M); feed rows to ``StochasticKriging.solve``
+    via `simulated_state=`.
+    """
+    if covariance is not None:
+        cov = jnp.asarray(covariance)
+        L = draw_factor(cov)
+        if bool(jnp.isnan(L[-1, -1])):
+            L = eigen_repaired_factor(cov)
+        return np.asarray(
+            draws_from_factor(
+                key, L, jnp.zeros((cov.shape[0],), cov.dtype), n_states
+            )
+        )
+    if corr_fn is None or variance is None:
+        raise ValueError(
+            "provide either covariance or (corr_fn, variance, grid axes)"
+        )
+    from ..ops.sphere import SphericalHarmonicSampler
+
+    sampler = SphericalHarmonicSampler(
+        corr_fn, variance, lats_deg, lons_deg, nugget=nugget
+    )
+    return np.asarray(sampler.draw(key, n_states))
+
+
 def batched_ensemble_step(key, covariance, error_cov, idx, obs, n_members):
     """Fully-batched ensemble generation: one factor, vmapped members.
 

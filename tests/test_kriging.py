@@ -324,3 +324,56 @@ def test_prep_obs_for_kriging():
         prep_obs_for_kriging(
             unmask_idx, unique_obs_idx, weights, obs, remove_obs_mean=3
         )
+
+
+def test_kriging_exact_at_obs_without_error():
+    """With no error covariance the kriged field interpolates the obs."""
+    covariance, grid_idx, obs_vals = _setup()
+    # use a PSD covariance (variance - variogram) rather than the raw
+    # variogram for this property
+    cov = 4.0 - covariance
+    OK = OrdinaryKriging(cov, idx=grid_idx, obs=obs_vals)
+    k = OK.solve()
+    np.testing.assert_allclose(k[grid_idx], obs_vals, atol=1e-6)
+    u = OK.get_uncertainty()
+    # reference OK-variance formula subtracts lambda twice, so at obs
+    # points the clamped uncertainty is ~0 only within the multiplier
+    assert (u[grid_idx] < 0.2).all()
+
+    SK = SimpleKriging(cov, idx=grid_idx, obs=obs_vals)
+    ks = SK.solve()
+    np.testing.assert_allclose(ks[grid_idx], obs_vals, atol=1e-6)
+    us = SK.get_uncertainty()
+    np.testing.assert_allclose(us[grid_idx], 0.0, atol=1e-4)
+
+
+def test_precompute_states_both_routes(rng):
+    import jax
+
+    from glomargridding_tpu.models.stochastic import precompute_states
+    from glomargridding_tpu.ops.sphere import matern_correlation
+
+    # dense route
+    pts = rng.uniform(0, 1, size=(40, 2))
+    d = np.linalg.norm(pts[:, None] - pts[None, :], axis=-1)
+    cov = np.exp(-d / 0.3) + 0.01 * np.eye(40)
+    states = precompute_states(jax.random.key(0), 64, covariance=cov)
+    assert states.shape == (64, 40)
+    assert np.isfinite(states).all()
+
+    # spectral route
+    lats = np.arange(-60.0, 61.0, 30.0)
+    lons = np.arange(0.0, 360.0, 60.0)
+    states2 = precompute_states(
+        jax.random.key(1),
+        8,
+        corr_fn=matern_correlation(0.5, 2000.0),
+        variance=1.2,
+        lats_deg=lats,
+        lons_deg=lons,
+    )
+    assert states2.shape == (8, len(lats) * len(lons))
+    assert np.isfinite(states2).all()
+
+    with pytest.raises(ValueError, match="provide either"):
+        precompute_states(jax.random.key(2), 4)
