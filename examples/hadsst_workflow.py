@@ -141,7 +141,7 @@ def run(esa_lat_band=None, nm_tol=1e-3, chunk_size=2048):
     t0 = stage("non-stationary covariance assembly", t0)
     if esa_lat_band is None:
         spatial_cov.cov_ns = eigenvalue_clip(
-            spatial_cov.cov_ns.astype(np.float64)
+            np.asarray(spatial_cov.cov_ns, dtype=np.float64)
         )
         spatial_cov.uncompress_cov(diag_fill_value=1.2, fill_value=0.0)
         cov_non_stat = spatial_cov.cov_ns
