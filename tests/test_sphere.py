@@ -67,8 +67,11 @@ def test_sample_covariance_matches_kernel(rng):
     lats = np.arange(-60.0, 61.0, 30.0)  # 5 lats
     lons = np.arange(-180.0, 180.0, 60.0)  # 6 lons
     corr = matern_correlation(nu=1.5, range_km=8000.0)
+    import jax.numpy as jnp
+
     sampler = SphericalHarmonicSampler(
-        corr, variance=2.0, lats_deg=lats, lons_deg=lons, l_max=64
+        corr, variance=2.0, lats_deg=lats, lons_deg=lons, l_max=64,
+        dtype=jnp.float32,
     )
     assert sampler.truncation_fraction > 0.999
 
@@ -99,11 +102,13 @@ def test_nugget_adds_independent_variance(rng):
     lats = np.arange(-45.0, 46.0, 45.0)
     lons = np.arange(0.0, 360.0, 90.0)
     corr = matern_correlation(nu=0.5, range_km=3000.0)
+    import jax.numpy as jnp
+
     s0 = SphericalHarmonicSampler(
-        corr, 1.0, lats, lons, l_max=64, nugget=0.0
+        corr, 1.0, lats, lons, l_max=64, nugget=0.0, dtype=jnp.float32
     )
     s1 = SphericalHarmonicSampler(
-        corr, 1.0, lats, lons, l_max=64, nugget=0.5
+        corr, 1.0, lats, lons, l_max=64, nugget=0.5, dtype=jnp.float32
     )
     d0 = np.asarray(s0.draw(jax.random.key(1), 8_000))
     d1 = np.asarray(s1.draw(jax.random.key(1), 8_000))
