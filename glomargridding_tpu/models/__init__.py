@@ -10,9 +10,27 @@ from .kriging import (
     prep_obs_for_kriging,
     get_unmasked_obs_indices,
 )
-from .stochastic import StochasticKriging, mv_normal_draw, scipy_mv_normal_draw
+from .stochastic import (
+    StochasticKriging,
+    mv_normal_draw,
+    precompute_states,
+    scipy_mv_normal_draw,
+)
+from .kernel_kriging import (
+    ensemble_from_kernel,
+    kriging_from_kernel,
+    months_scan_kriging,
+    pad_month_observations,
+    variogram_kernel,
+)
 
 __all__ = [
+    "ensemble_from_kernel",
+    "kriging_from_kernel",
+    "months_scan_kriging",
+    "pad_month_observations",
+    "precompute_states",
+    "variogram_kernel",
     "Kriging",
     "OrdinaryKriging",
     "SimpleKriging",

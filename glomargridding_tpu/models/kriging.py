@@ -348,7 +348,8 @@ class OrdinaryKriging(Kriging):
         self.kriging_weights = jnp.concatenate([W, lam[:, None]], axis=1)
         self._uncert2 = uncert2
         self._cmask = cmask
-        return np.asarray(field)
+        self._field = np.asarray(field)
+        return self._field
 
     def get_kriging_weights(self) -> None:
         """Compute (and set) the M x (n+1) extended kriging weights."""
@@ -368,9 +369,10 @@ class OrdinaryKriging(Kriging):
 
     def solve(self):
         """Kriged field; computes weights lazily via the bordered solve."""
-        if hasattr(self, "kriging_weights") and not hasattr(
-            self, "_uncert2"
-        ):
+        if hasattr(self, "_field"):
+            return self._field
+        if hasattr(self, "kriging_weights"):
+            # user-injected weights path
             grid_obs = np.append(self.obs, 0).astype(self.obs.dtype)
             return self.kriging_weights @ grid_obs
         return self._full_solve()
