@@ -146,9 +146,6 @@ class DataArray:
         for (lo, hi), d in zip(bounds, dims):
             c = self.coords[d]
             indexers[d] = (c >= lo) & (c <= hi)
-        slicer = tuple(
-            indexers.get(d, slice(None)) for d in self.dims
-        )
         # Apply one boolean mask per axis via successive indexing
         data = self.values
         new_coords = {}
@@ -159,7 +156,6 @@ class DataArray:
                 continue
             data = np.compress(m, data, axis=axis)
             new_coords[d] = self.coords[d][m]
-        del slicer
         return DataArray(
             data, new_coords, name=self.name, attrs=dict(self.attrs)
         )

@@ -10,8 +10,6 @@ broadcast — the ideal ICI layout — so scaling to a pod is linear in the
 grid axis.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import jax.scipy.linalg as jsl
