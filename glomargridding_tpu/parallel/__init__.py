@@ -5,9 +5,13 @@ from .kriging import (
     ensemble_kriging_step,
     sharded_ordinary_kriging,
 )
+from .kernel_kriging import sharded_kriging_from_kernel
+from .linalg import sharded_cholesky
 
 __all__ = [
     "ensemble_kriging_step",
     "make_mesh",
+    "sharded_cholesky",
+    "sharded_kriging_from_kernel",
     "sharded_ordinary_kriging",
 ]

@@ -140,3 +140,28 @@ def test_sharded_kernel_kriging_matches_single(rng):
     )
     shard_devs = {s.device for s in field.addressable_shards}
     assert len(shard_devs) == 8
+
+
+def test_sharded_cholesky_matches_numpy(rng):
+    from glomargridding_tpu.parallel.linalg import sharded_cholesky
+
+    n = 256
+    A = rng.normal(size=(n, n))
+    spd = A @ A.T + n * np.eye(n)
+
+    mesh = make_mesh(n_grid=8, n_ens=1)
+    L = np.asarray(sharded_cholesky(mesh, spd.astype(np.float64),
+                                    n_blocks=16))
+    ref = np.linalg.cholesky(spd)
+    np.testing.assert_allclose(L, ref, rtol=1e-9, atol=1e-9)
+    # strictly lower triangular result
+    assert np.abs(np.triu(L, 1)).max() == 0.0
+
+
+def test_sharded_cholesky_block_count_validation(rng):
+    from glomargridding_tpu.parallel.linalg import sharded_cholesky
+
+    mesh = make_mesh(n_grid=8, n_ens=1)
+    A = np.eye(100)
+    with pytest.raises(ValueError, match="divide"):
+        sharded_cholesky(mesh, A, n_blocks=7)
