@@ -132,7 +132,7 @@ def build_benchmark(m_lat=180, m_lon=360, n_obs=5000, n_members=100):
     return kriging_step, ensemble_step, (la_b, lo_b, idx, y, err_diag)
 
 
-def main():
+def _run_once():
     import jax
 
     kriging_step, ensemble_step, args = build_benchmark()
@@ -147,7 +147,17 @@ def main():
         out = kriging_step(*args)
         jax.block_until_ready(out)
         times.append(time.perf_counter() - t0)
-    value = min(times)
+    return min(times)
+
+
+def main():
+    # The remote-device link can fault transiently; one retry protects
+    # the recorded metric.
+    try:
+        value = _run_once()
+    except Exception:
+        time.sleep(20)
+        value = _run_once()
 
     baseline_target_s = 10.0
     print(
