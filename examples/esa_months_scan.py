@@ -67,11 +67,11 @@ def main():
     kernel = variogram_kernel(vario)
 
     def run():
-        fields = months_scan_kriging(
+        fields, uncerts, cmasks = months_scan_kriging(
             kernel, glat, glon, idx_m, obs_m, err_m,
             variance=1.2, n_blocks=4,
         )
-        jax.block_until_ready(fields)
+        jax.block_until_ready((fields, uncerts, cmasks))
         return fields
 
     t0 = time.perf_counter()

@@ -308,7 +308,7 @@ def _months_scan_jit(
 
     def one_month(carry, inputs):
         idx, y, E = inputs
-        field, _, _ = _kernel_kriging_jit(
+        field, uncert2, cmask = _kernel_kriging_jit(
             kernel_fn,
             la,
             lo,
@@ -320,10 +320,10 @@ def _months_scan_jit(
             "ordinary",
             n_blocks,
         )
-        return carry, field[:m]
+        return carry, (field[:m], uncert2[:m], cmask[:m])
 
-    _, fields = jax.lax.scan(one_month, None, (idx_m, obs_m, err_m))
-    return fields
+    _, out = jax.lax.scan(one_month, None, (idx_m, obs_m, err_m))
+    return out
 
 
 def months_scan_kriging(
@@ -341,12 +341,13 @@ def months_scan_kriging(
     `idx_months` (T, n), `obs_months` (T, n), `error_cov_months`
     (T, n, n): one compiled program scans over months (the ESA-CCI
     41-Marches configuration; months with differing obs counts should be
-    padded/bucketed with ``pad_month_observations``). Returns fields
-    (T, M).
+    padded/bucketed with ``pad_month_observations``). Returns
+    (fields, uncertainties, constraint_masks), each (T, M) — the
+    uncertainty is returned as sqrt of the clamped variance.
     """
     la = jnp.radians(jnp.asarray(grid_lats))
     lo = jnp.radians(jnp.asarray(grid_lons))
-    return _months_scan_jit(
+    fields, uncert2, cmask = _months_scan_jit(
         kernel_fn,
         la,
         lo,
@@ -356,3 +357,4 @@ def months_scan_kriging(
         jnp.asarray(variance, la.dtype),
         n_blocks,
     )
+    return fields, jnp.sqrt(jnp.clip(uncert2, 0.0)), cmask

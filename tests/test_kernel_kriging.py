@@ -105,16 +105,24 @@ def test_months_scan(rng):
     idx_m = np.stack([idx] * T)
     obs_m = np.stack([rng.normal(size=len(idx)) for _ in range(T)])
     err_m = np.stack([err] * T)
-    fields = months_scan_kriging(
+    fields, uncerts, cmasks = months_scan_kriging(
         kernel, glat, glon, idx_m, obs_m, err_m, variance=1.0
     )
     assert fields.shape == (T, len(glat))
-    # month 0 equals the single-month call
+    # month 0 equals the single-month call (field + diagnostics)
     single = kriging_from_kernel(
         kernel, glat, glon, idx, obs_m[0], err, variance=1.0, n_blocks=8
     )
     np.testing.assert_allclose(
         np.asarray(fields[0]), np.asarray(single.field), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(uncerts[0]), np.asarray(single.uncertainty),
+        rtol=1e-5, atol=1e-7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(cmasks[0]), np.asarray(single.constraint_mask),
+        rtol=1e-6,
     )
 
 
@@ -150,7 +158,7 @@ def test_pad_month_observations(rng):
         [idx, idx2], [obs, obs2], [err, err2]
     )
     assert idx_m.shape == (2, len(idx))
-    fields = months_scan_kriging(
+    fields, _, _ = months_scan_kriging(
         kernel, glat, glon, idx_m, obs_m, err_m, variance=1.0
     )
 
