@@ -66,22 +66,31 @@ def main():
     )
     kernel = variogram_kernel(vario)
 
-    def run():
-        fields, uncerts, cmasks = months_scan_kriging(
+    def run(diagnostics):
+        out = months_scan_kriging(
             kernel, glat, glon, idx_m, obs_m, err_m,
-            variance=1.2, n_blocks=4,
+            variance=1.2, n_blocks=4, diagnostics=diagnostics,
         )
-        jax.block_until_ready((fields, uncerts, cmasks))
-        return fields
+        jax.block_until_ready(out)
+        return out[0] if diagnostics else out
 
     t0 = time.perf_counter()
-    fields = run()
+    fields = run(False)
     print(f"cold (compile + run): {time.perf_counter() - t0:.2f}s")
     t0 = time.perf_counter()
-    fields = run()
+    fields = run(False)
     warm = time.perf_counter() - t0
     print(
-        f"warm: {warm:.3f}s total, {warm / n_months * 1e3:.1f} ms/month"
+        f"warm (fields only): {warm:.3f}s total, "
+        f"{warm / n_months * 1e3:.1f} ms/month"
+    )
+    run(True)  # compile the diagnostics variant
+    t0 = time.perf_counter()
+    run(True)
+    warm = time.perf_counter() - t0
+    print(
+        f"warm (+uncertainty+mask): {warm:.3f}s total, "
+        f"{warm / n_months * 1e3:.1f} ms/month"
     )
 
     fields = np.asarray(fields)

@@ -300,9 +300,19 @@ def pad_month_observations(
     return idx_out, obs_out, err_out
 
 
-@partial(jax.jit, static_argnames=("kernel_fn", "n_blocks"))
+@partial(
+    jax.jit, static_argnames=("kernel_fn", "n_blocks", "diagnostics")
+)
 def _months_scan_jit(
-    kernel_fn, la, lo, idx_m, obs_m, err_m, variance, n_blocks: int
+    kernel_fn,
+    la,
+    lo,
+    idx_m,
+    obs_m,
+    err_m,
+    variance,
+    n_blocks: int,
+    diagnostics: bool,
 ):
     m = la.shape[0]
 
@@ -320,7 +330,9 @@ def _months_scan_jit(
             "ordinary",
             n_blocks,
         )
-        return carry, (field[:m], uncert2[:m], cmask[:m])
+        if diagnostics:
+            return carry, (field[:m], uncert2[:m], cmask[:m])
+        return carry, field[:m]
 
     _, out = jax.lax.scan(one_month, None, (idx_m, obs_m, err_m))
     return out
@@ -335,6 +347,7 @@ def months_scan_kriging(
     error_cov_months,
     variance: float = 1.0,
     n_blocks: int = 8,
+    diagnostics: bool = True,
 ):
     """Batch kriging over a stack of months with identical obs layouts.
 
@@ -343,11 +356,14 @@ def months_scan_kriging(
     41-Marches configuration; months with differing obs counts should be
     padded/bucketed with ``pad_month_observations``). Returns
     (fields, uncertainties, constraint_masks), each (T, M) — the
-    uncertainty is returned as sqrt of the clamped variance.
+    uncertainty is sqrt of the clamped variance. With
+    ``diagnostics=False`` only the (T, M) fields are computed and
+    returned (XLA drops the diagonal reductions entirely — a few times
+    faster when only fields are wanted).
     """
     la = jnp.radians(jnp.asarray(grid_lats))
     lo = jnp.radians(jnp.asarray(grid_lons))
-    fields, uncert2, cmask = _months_scan_jit(
+    out = _months_scan_jit(
         kernel_fn,
         la,
         lo,
@@ -356,5 +372,9 @@ def months_scan_kriging(
         jnp.asarray(error_cov_months),
         jnp.asarray(variance, la.dtype),
         n_blocks,
+        diagnostics,
     )
+    if not diagnostics:
+        return out
+    fields, uncert2, cmask = out
     return fields, jnp.sqrt(jnp.clip(uncert2, 0.0)), cmask
