@@ -199,7 +199,7 @@ def test_simple_kriging_mean_shift():
     np.testing.assert_allclose(shifted, base + 2.5, rtol=1e-10)
 
 
-@pytest.mark.parametrize("n", [10, 25, 100, 500])
+@pytest.mark.parametrize("n", [10, 25, 100, 1000])
 def test_extended_inverse_trick(n, rng):
     A = rng.random((n, n))
     S = A @ A.T + n * np.eye(n)

@@ -99,3 +99,50 @@ def test_batched_lbfgs(rng):
     np.testing.assert_allclose(
         np.asarray(res.x), np.asarray(centres), atol=1e-3
     )
+
+
+def test_nm_matches_scipy_on_ellipse_nll(rng):
+    """Our batched NM lands on the same optimum as scipy's bounded NM on
+    the real (Fisher-transformed) ellipse likelihood."""
+    from scipy.optimize import minimize
+    from scipy.special import kv as skv
+
+    from glomargridding_tpu.models.ellipse import EllipseModel
+
+    m = EllipseModel(
+        anisotropic=True, rotated=True, physical_distance=True,
+        v=0.5, unit_sigma=True,
+    )
+    # synthetic anisotropic correlations
+    Lx_t, Ly_t, th_t = 1800.0, 700.0, 0.5
+    dx = rng.uniform(-4000, 4000, 400)
+    dy = rng.uniform(-4000, 4000, 400)
+    X = np.column_stack([dx, dy])
+    R = np.array([[np.cos(th_t), -np.sin(th_t)],
+                  [np.sin(th_t), np.cos(th_t)]])
+    S = R @ np.diag([Lx_t**2, Ly_t**2]) @ R.T
+    Si = np.linalg.inv(S)
+    tau = np.sqrt(dx * (Si[0, 0] * dx + Si[0, 1] * dy)
+                  + dy * (Si[1, 0] * dx + Si[1, 1] * dy))
+    inner = 2 * tau * np.sqrt(0.5)
+    y = inner**0.5 * skv(0.5, inner) / np.sqrt(np.pi / 2)
+    y = np.clip(y + rng.normal(0, 0.03, 400), -0.999, 0.999)
+
+    bounds = [(300.0, 10000.0), (300.0, 10000.0),
+              (-2 * np.pi, 2 * np.pi)]
+    guesses = [1000.0, 1000.0, 0.0]
+
+    ours, _, _ = m.fit(X, y, guesses=list(guesses), bounds=list(bounds),
+                       tol=1e-6, estimate_SE=None)
+
+    ref = minimize(
+        lambda p: m.negative_log_likelihood(X, y.copy(), list(p)),
+        np.array(guesses),
+        bounds=bounds,
+        method="Nelder-Mead",
+        tol=1e-6,
+    )
+    # same optimum (scale lengths within 2%, angle within 0.05 rad
+    # modulo the Lx/Ly symmetry)
+    np.testing.assert_allclose(np.asarray(ours.x)[:2], ref.x[:2], rtol=0.02)
+    assert abs(float(ours.fun) - ref.fun) < abs(ref.fun) * 1e-3
