@@ -7,11 +7,14 @@ from .kriging import (
 )
 from .kernel_kriging import sharded_kriging_from_kernel
 from .linalg import sharded_cholesky
+from .ellipse import sharded_ellipse_covariance, sharded_state_draws
 
 __all__ = [
     "ensemble_kriging_step",
     "make_mesh",
     "sharded_cholesky",
+    "sharded_ellipse_covariance",
+    "sharded_state_draws",
     "sharded_kriging_from_kernel",
     "sharded_ordinary_kriging",
 ]

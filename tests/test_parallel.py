@@ -165,3 +165,66 @@ def test_sharded_cholesky_block_count_validation(rng):
     A = np.eye(100)
     with pytest.raises(ValueError, match="divide"):
         sharded_cholesky(mesh, A, n_blocks=7)
+
+
+def test_sharded_ellipse_covariance_and_draws(rng):
+    """Full multi-chip non-stationary pipeline on the CPU mesh:
+    row-sharded PS06 assembly == single-device builder; distributed
+    Cholesky + sharded L@z draws have the right distribution."""
+    import jax.numpy as jnp
+
+    from glomargridding_tpu.models.ellipse.covariance import (
+        build_ellipse_covariance,
+    )
+    from glomargridding_tpu.ops.distances import sigma_rot_flat
+    from glomargridding_tpu.parallel.ellipse import (
+        sharded_ellipse_covariance,
+        sharded_state_draws,
+    )
+    from glomargridding_tpu.parallel.linalg import sharded_cholesky
+
+    n = 128
+    lats = rng.uniform(-60, 60, n)
+    lons = rng.uniform(-180, 180, n)
+    Lx = rng.uniform(900, 2000, n)
+    Ly = rng.uniform(500, 900, n)
+    theta = rng.uniform(-np.pi, np.pi, n)
+    stdev = rng.uniform(0.6, 1.4, n)
+
+    mesh = make_mesh(n_grid=8, n_ens=1)
+    cov_sharded = sharded_ellipse_covariance(
+        mesh, Lx, Ly, theta, stdev, lats, lons, v=0.5
+    )
+
+    s00, s01, _, s11 = sigma_rot_flat(
+        jnp.asarray(Lx), jnp.asarray(Ly), jnp.asarray(theta)
+    )
+    sig = jnp.stack([s00, s01, s11], -1)
+    sdets = jnp.sqrt(s00 * s11 - s01 * s01)
+    ref = np.asarray(
+        build_ellipse_covariance(
+            jnp.radians(jnp.asarray(lats)),
+            jnp.radians(jnp.asarray(lons)),
+            sig,
+            sdets,
+            jnp.asarray(stdev),
+            v=0.5,
+        )
+    )
+    np.testing.assert_allclose(
+        np.asarray(cov_sharded), ref, rtol=1e-5, atol=1e-8
+    )
+    assert len({s.device for s in cov_sharded.addressable_shards}) == 8
+
+    # PSD repair then distributed factor + draws
+    from glomargridding_tpu.ops.covariance_tools import eigenvalue_clip
+
+    spd = eigenvalue_clip(ref, target_variance_fraction=0.95)
+    L = sharded_cholesky(mesh, spd, n_blocks=16)
+    ref_L = np.linalg.cholesky(spd)
+    np.testing.assert_allclose(np.asarray(L), ref_L, rtol=1e-6, atol=1e-8)
+
+    draws = sharded_state_draws(mesh, jax.random.key(0), L, 20_000)
+    assert draws.shape == (20_000, n)
+    sample_cov = np.cov(np.asarray(draws).T)
+    assert np.abs(sample_cov - spd).max() < 0.15
