@@ -21,6 +21,7 @@ from .ops.error_covariance import (
     correlated_components,
     dist_weight,
     get_weights,
+    gridbox_error_covariance,
     uncorrelated_components,
 )
 from .ops.variogram import (
@@ -43,6 +44,7 @@ __all__ = [
     "get_weights",
     "grid_from_resolution",
     "grid_to_distance_matrix",
+    "gridbox_error_covariance",
     "map_to_grid",
     "uncorrelated_components",
     "variogram_to_covariance",

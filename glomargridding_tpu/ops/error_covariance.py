@@ -144,3 +144,19 @@ def get_weights(
     weights = np.zeros((len(uniques), n_obs))
     weights[codes, np.arange(n_obs)] = 1.0 / counts[codes]
     return weights
+
+
+def gridbox_error_covariance(weights, obs_error_cov):
+    """Reduce a per-record error covariance to gridbox level: W E W'.
+
+    `weights` is the (n_gridboxes x n_obs) averaging matrix from
+    ``get_weights``/``dist_weight``; `obs_error_cov` the per-record error
+    covariance (uncorrelated + correlated + distance components summed).
+    The reference leaves this reduction to user workflows (SURVEY.md
+    §3.4); here it is one fused device matmul chain.
+    """
+    import jax.numpy as jnp
+
+    W = jnp.asarray(weights)
+    E = jnp.asarray(obs_error_cov, W.dtype)
+    return np.asarray(W @ E @ W.T)

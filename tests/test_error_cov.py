@@ -85,3 +85,25 @@ def test_dist_weight_blocks(obs_df):
     assert dist[3, 5] == 7.0
     assert dist[0, 2] == 0.0
     assert dist[2, 2] == 7.0
+
+
+def test_gridbox_error_covariance(obs_df):
+    from glomargridding_tpu.ops.error_covariance import (
+        gridbox_error_covariance,
+    )
+
+    E = uncorrelated_components(
+        obs_df, "data_type",
+        obs_sig_map={"ship": 2.0, "buoy": 1.0, "argo": 0.5},
+    )
+    E += correlated_components(
+        obs_df, "data_type",
+        bias_sig_map={"ship": 0.5, "buoy": 0.3, "argo": 0.2},
+    )
+    W = get_weights(obs_df)
+    E_grid = gridbox_error_covariance(W, E)
+    np.testing.assert_allclose(E_grid, W @ E @ W.T, rtol=1e-6)
+    assert E_grid.shape == (3, 3)
+    # SPD-ish: diagonal positive, symmetric
+    assert (np.diag(E_grid) > 0).all()
+    np.testing.assert_allclose(E_grid, E_grid.T, rtol=1e-6)
