@@ -11,9 +11,9 @@ in ``ops.sphere``, which needs no matrix at all).
 """
 
 import jax
+from jax import shard_map
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
 
 from ..models.ellipse.covariance import ellipse_covariance_block
 from ..ops.distances import sigma_rot_flat

@@ -11,10 +11,10 @@ grid axis.
 """
 
 import jax
+from jax import shard_map
 import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 from jax.sharding import NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
 
 
 def sharded_kriging_from_kernel(

@@ -23,10 +23,10 @@ covariances too big for one chip.
 """
 
 import jax
+from jax import shard_map
 import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 from jax.sharding import NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
 
 
 def sharded_cholesky(mesh, A, n_blocks: int | None = None, axis: str = "grid"):
