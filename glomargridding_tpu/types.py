@@ -30,35 +30,26 @@ Taxonomy reading guide:
 
 from typing import Literal
 
+# The six ellipse families, spelled three ways (config name / fform /
+# supercategory). "_pd" marks the physical-distance (km) variants.
+_PS_FAMILIES = ("iso", "ani", "ani_r")
+
 ModelType = Literal[
-    "ps2006_kks2011_iso",
-    "ps2006_kks2011_ani",
-    "ps2006_kks2011_ani_r",
-    "ps2006_kks2011_iso_pd",
-    "ps2006_kks2011_ani_pd",
+    "ps2006_kks2011_iso", "ps2006_kks2011_ani", "ps2006_kks2011_ani_r",
+    "ps2006_kks2011_iso_pd", "ps2006_kks2011_ani_pd",
     "ps2006_kks2011_ani_r_pd",
 ]
 
 FForm = Literal[
-    "anisotropic_rotated",
-    "anisotropic",
-    "isotropic",
-    "anisotropic_rotated_pd",
-    "anisotropic_pd",
-    "isotropic_pd",
+    "isotropic", "anisotropic", "anisotropic_rotated",
+    "isotropic_pd", "anisotropic_pd", "anisotropic_rotated_pd",
 ]
 
 SuperCategory = Literal[
-    "1_param_matern",
-    "2_param_matern",
-    "3_param_matern",
-    "1_param_matern_pd",
-    "2_param_matern_pd",
-    "3_param_matern_pd",
+    "1_param_matern", "2_param_matern", "3_param_matern",
+    "1_param_matern_pd", "2_param_matern_pd", "3_param_matern_pd",
 ]
 
 DeltaXMethod = Literal["Met_Office", "Modified_Met_Office"]
-
 CovarianceMethod = Literal["batched", "low_memory", "array"]
-
 KrigMethod = Literal["simple", "ordinary"]
