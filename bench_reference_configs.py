@@ -95,7 +95,7 @@ def main():
             lat,
             lon,
             v=ellipse.v,
-        ).cov_ns
+        ).cov_ns.block_until_ready()
 
     t_cov = timed(build_cov)
     cov_ns = build_cov()

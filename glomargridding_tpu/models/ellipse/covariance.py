@@ -211,6 +211,39 @@ def build_ellipse_covariance(
     return cov + jnp.diag(stdevs**2)
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "v", "delta_x_method", "max_dist", "row_block", "use_pallas"
+    ),
+)
+def _assemble_covariance(
+    Lx, Ly, theta, stdevs, lats_rad, lons_rad,
+    *, v, delta_x_method, max_dist, row_block, use_pallas,
+):
+    """Sigma precompute + full covariance assembly in ONE compiled call.
+
+    ``use_pallas`` None means "auto" (resolved at trace time). Keeping
+    everything under one jit matters on remote-tunnel backends where
+    every dispatch is a round-trip.
+    """
+    s00, s01, _, s11 = sigma_rot_flat(Lx, Ly, theta)
+    sig_flat = jnp.stack([s00, s01, s11], axis=-1)
+    sqrt_dets = jnp.sqrt(s00 * s11 - s01 * s01)
+    return build_ellipse_covariance(
+        lats_rad,
+        lons_rad,
+        sig_flat,
+        sqrt_dets,
+        stdevs,
+        v=v,
+        delta_x_method=delta_x_method,
+        max_dist=max_dist,
+        row_block=row_block,
+        use_pallas="auto" if use_pallas is None else use_pallas,
+    )
+
+
 class EllipseCovarianceBuilder:
     """Covariance from ellipse parameter fields and positions.
 
@@ -319,46 +352,58 @@ class EllipseCovarianceBuilder:
                     f"Unknown covariance_method: {self.covariance_method}"
                 )
 
-    @staticmethod
-    @jax.jit
-    def _precompute(Lx, Ly, theta):
-        """Flattened Sigma rows + sqrt determinants in one device call."""
-        s00, s01, _, s11 = sigma_rot_flat(Lx, Ly, theta)
-        sig_flat = jnp.stack([s00, s01, s11], axis=-1)
-        sqrt_dets = jnp.sqrt(s00 * s11 - s01 * s01)
-        return s00, s01, s11, sig_flat, sqrt_dets
+    @property
+    def sigmas(self):
+        """Per-point flattened 2x2 Sigma rows (parity attribute).
+
+        Computed lazily on the host: assembly never needs the host copy,
+        and fetching it eagerly used to cost four blocking device->host
+        round-trips per build.
+        """
+        if getattr(self, "_sigmas", None) is None:
+            ct = np.cos(self.theta_compressed)
+            st = np.sin(self.theta_compressed)
+            Lx2 = self.Lx_compressed**2
+            Ly2 = self.Ly_compressed**2
+            s00 = ct * ct * Lx2 + st * st * Ly2
+            s01 = ct * st * (Lx2 - Ly2)
+            s11 = st * st * Lx2 + ct * ct * Ly2
+            self._sigmas = np.column_stack([s00, s01, s01, s11]).astype(
+                self.precision
+            )
+        return self._sigmas
+
+    @property
+    def sqrt_dets(self):
+        """Per-point sqrt(det Sigma) (parity attribute, lazy)."""
+        if getattr(self, "_sqrt_dets", None) is None:
+            s = self.sigmas
+            self._sqrt_dets = np.sqrt(s[:, 0] * s[:, 3] - s[:, 1] * s[:, 2])
+        return self._sqrt_dets
 
     def _calculate_covariance(self) -> None:
-        # Precompute flattened Sigma rows, sqrt determinants, gamma terms.
-        s00, s01, s11, sig_flat, sqrt_dets = self._precompute(
-            jnp.asarray(self.Lx_compressed),
-            jnp.asarray(self.Ly_compressed),
-            jnp.asarray(self.theta_compressed),
-        )
-        # parity attributes (reference keeps 1x4 rows)
-        self.sigmas = np.column_stack(
-            [
-                np.asarray(s00),
-                np.asarray(s01),
-                np.asarray(s01),
-                np.asarray(s11),
-            ]
-        ).astype(self.precision)
-        self.sqrt_dets = np.asarray(sqrt_dets)
         self.gamma_v_term = math.gamma(self.v) * (2 ** (self.v - 1))
         self.sqrt_v_term = math.sqrt(self.v) * 2
+        self._sigmas = None
+        self._sqrt_dets = None
 
-        cov = build_ellipse_covariance(
+        # One fused jitted dispatch: Sigma precompute + tile assembly +
+        # diagonal, so over a remote-device tunnel the whole build is a
+        # single RPC instead of precompute / fetch / assemble hops.
+        cov = _assemble_covariance(
+            jnp.asarray(self.Lx_compressed, self.precision),
+            jnp.asarray(self.Ly_compressed, self.precision),
+            jnp.asarray(self.theta_compressed, self.precision),
+            jnp.asarray(self.stdev_compressed, self.precision),
             jnp.asarray(self.lat_grid_compressed_rad, self.precision),
             jnp.asarray(self.lon_grid_compressed_rad, self.precision),
-            sig_flat.astype(self.precision),
-            sqrt_dets.astype(self.precision),
-            jnp.asarray(self.stdev_compressed, self.precision),
             v=self.v,
             delta_x_method=self.delta_x_method,
             max_dist=self.max_dist,
             row_block=self._row_block(),
-            use_pallas=self.use_pallas,
+            use_pallas=self.use_pallas
+            if isinstance(self.use_pallas, bool)
+            else None,
         )
         # Left on device: downstream consumers (eigenvalue clipping,
         # kriging) are device computations; numpy access works through
