@@ -32,6 +32,7 @@ device arrays and matching the reference's constructor/attribute surface
 (``covariance``, ``idx``, ``obs``, ``error_cov``, ``kriging_weights``).
 """
 
+import weakref
 from abc import ABC, abstractmethod
 from typing import Literal
 from warnings import warn
@@ -163,6 +164,12 @@ def _finalise_uncert(uncert2):
     return uncert
 
 
+# Device copies of host covariance matrices, shared across solver
+# instances (see Kriging._cov_device). id -> jax.Array; evicted via
+# weakref.finalize when the host array dies.
+_COV_DEVICE_CACHE: dict = {}
+
+
 # ===========================================================================
 # Classes
 # ===========================================================================
@@ -220,9 +227,28 @@ class Kriging(ABC):
 
     # -- shared device-side pieces -----------------------------------------
     def _cov_device(self):
-        """Device copy of the covariance (uploaded once, then cached)."""
+        """Device copy of the covariance (uploaded once, then cached).
+
+        The cache is shared across solver instances keyed on the host
+        array's identity: the canonical ensemble loop constructs a fresh
+        solver per member from ONE covariance, and re-uploading an
+        N x N matrix per member would dominate the step time on a
+        remote-tunnel backend. Entries are evicted when the host array
+        is garbage collected.
+        """
         if getattr(self, "_cov_dev", None) is None:
-            self._cov_dev = jnp.asarray(self.covariance)
+            key = id(self.covariance)
+            cached = _COV_DEVICE_CACHE.get(key)
+            if cached is None:
+                cached = jnp.asarray(self.covariance)
+                _COV_DEVICE_CACHE[key] = cached
+                try:
+                    weakref.finalize(
+                        self.covariance, _COV_DEVICE_CACHE.pop, key, None
+                    )
+                except TypeError:  # non-weakref-able host container
+                    pass
+            self._cov_dev = cached
         return self._cov_dev
 
     def _blocks(self):

@@ -132,6 +132,44 @@ def mv_normal_draw(
     return out[0] if ndraws == 1 else out
 
 
+@jax.jit
+def _member_finish(field, W, state, sim_obs):
+    """simulated grid, epsilon, and perturbed member from the draws."""
+    sim_grid = W @ sim_obs
+    eps = sim_grid - state
+    return field + eps, sim_grid, eps
+
+
+@jax.jit
+def _stochastic_fused(key_state, key_obs, cov, E, idx, W, field):
+    """Whole stochastic stage in ONE compiled dispatch (fast path).
+
+    Factors C and E, draws the simulated state and observation noise,
+    and assembles the perturbed member. Also returns NaN flags for the
+    two Cholesky factors so the caller can detect a non-PD input with a
+    single device sync and rerun through the eigen-repair rescue path
+    (reference semantics, ``stochastic.py:344-392``) only when needed.
+    """
+    Lc = _cholesky_jit(cov)
+    Le = _cholesky_jit(E)
+    state = Lc @ jax.random.normal(key_state, (cov.shape[0],), cov.dtype)
+    noise = Le @ jax.random.normal(key_obs, (E.shape[0],), E.dtype)
+    sim_obs = state[idx] + noise
+    member, sim_grid, eps = _member_finish(field, W, state, sim_obs)
+    bad = jnp.stack([jnp.isnan(Lc[-1, -1]), jnp.isnan(Le[-1, -1])])
+    return member, state, sim_obs, sim_grid, eps, bad
+
+
+@jax.jit
+def _stochastic_fused_with_state(key_obs, state, E, idx, W, field):
+    """Fused stage for a pre-computed simulated state (one dispatch)."""
+    Le = _cholesky_jit(E)
+    noise = Le @ jax.random.normal(key_obs, (E.shape[0],), E.dtype)
+    sim_obs = state[idx] + noise
+    member, sim_grid, eps = _member_finish(field, W, state, sim_obs)
+    return member, sim_obs, sim_grid, eps, jnp.isnan(Le[-1, -1])
+
+
 _GLOBAL_SEED = np.random.SeedSequence(20260816)
 
 
@@ -194,7 +232,7 @@ class StochasticKriging(Kriging):
         self.simple_kriging_weights = V.T
         W = V.T - lam[:, None] * u[None, :]
         self.kriging_weights = jnp.concatenate([W, lam[:, None]], axis=1)
-        self._field = np.asarray(field)
+        self._field = field  # device-resident; fetched only on user read
         self._uncert2 = uncert2
         self._cmask = cmask
 
@@ -255,6 +293,38 @@ class StochasticKriging(Kriging):
             key = jax.random.key(seed)
         key_state, key_obs = jax.random.split(key)
 
+        if hasattr(self, "_field"):
+            field = jnp.asarray(self._field)
+        else:
+            grid_obs = np.append(self.obs, 0).astype(self.obs.dtype)
+            field = jnp.asarray(self.kriging_weights) @ jnp.asarray(
+                grid_obs
+            )
+        self.gridded_field = field
+
+        W = jnp.asarray(self.simple_kriging_weights)
+        E = jnp.asarray(self.error_cov, W.dtype)
+        idx_dev = jnp.asarray(self.idx)
+
+        # Fast path: everything (two Cholesky factors, two draws, the
+        # perturbation algebra) in one compiled dispatch, then a single
+        # sync on the tiny NaN-flag vector. Only a non-PD input falls
+        # back to the per-piece eigen-repair path. f64-on-TPU is routed
+        # through draw_factor's host-LAPACK rescue instead.
+        fused_ok = not (
+            W.dtype == jnp.float64 and jax.default_backend() == "tpu"
+        )
+        if simulated_state is None and fused_ok:
+            member, state, sim_obs, sim_grid, eps, bad = _stochastic_fused(
+                key_state, key_obs, self._cov_device(), E, idx_dev, W, field
+            )
+            if not np.asarray(bad).any():
+                self.simulated_obs = sim_obs
+                self.simulated_grid = sim_grid
+                self.epsilon = eps
+                return member
+            simulated_state = None  # rescue below redraws the state
+
         if simulated_state is None:
             simulated_state = mv_normal_draw(
                 key_state,
@@ -262,31 +332,31 @@ class StochasticKriging(Kriging):
                 self._cov_device(),
                 ndraws=1,
             )
-        simulated_state = np.asarray(simulated_state).astype(
-            self.covariance.dtype
-        )
+        state = jnp.asarray(simulated_state, W.dtype)
+
+        if fused_ok:
+            member, sim_obs, sim_grid, eps, bad = (
+                _stochastic_fused_with_state(
+                    key_obs, state, E, idx_dev, W, field
+                )
+            )
+            if not bool(np.asarray(bad)):
+                self.simulated_obs = sim_obs
+                self.simulated_grid = sim_grid
+                self.epsilon = eps
+                return member
 
         obs_noise = mv_normal_draw(
             key_obs,
             jnp.zeros(self.error_cov.shape[0]),
-            jnp.asarray(self.error_cov),
+            E,
             ndraws=1,
         )
-        self.simulated_obs = simulated_state[self.idx] + np.asarray(
-            obs_noise
-        ).astype(self.covariance.dtype)
-
-        self.simulated_grid = np.asarray(
-            self.simple_kriging_weights @ jnp.asarray(self.simulated_obs)
+        self.simulated_obs = state[idx_dev] + obs_noise
+        member, self.simulated_grid, self.epsilon = _member_finish(
+            field, W, state, self.simulated_obs
         )
-        self.epsilon = self.simulated_grid - simulated_state
-
-        if hasattr(self, "_field"):
-            self.gridded_field = self._field
-        else:
-            grid_obs = np.append(self.obs, 0).astype(self.obs.dtype)
-            self.gridded_field = self.kriging_weights @ grid_obs
-        return self.gridded_field + self.epsilon
+        return member
 
 
 def precompute_states(
