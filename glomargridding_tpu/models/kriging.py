@@ -299,26 +299,35 @@ class SimpleKriging(Kriging):
     method: str = "simple"
 
     def get_kriging_weights(self) -> None:
-        """Compute (and set) the M x n simple kriging weights W."""
+        """Compute (and set) the M x n simple kriging weights W.
+
+        Weights stay device-resident: pulling an M x n matrix to the
+        host costs more than the solve on a tunneled device, and every
+        consumer is a device computation.
+        """
         K, C_cross, _ = self._blocks()
-        self.kriging_weights = np.asarray(_solve_sym(K, C_cross)).T
+        self.kriging_weights = _solve_sym(K, C_cross).T
 
     def kriging_weights_from_inverse(self, inv) -> None:
         """Set weights from a pre-computed (C_obs+E)^{-1}."""
         if len(self.idx) != inv.shape[0]:
             raise ValueError("inv must be square with side length == len(idx)")
         _, C_cross, _ = self._blocks()
-        self.kriging_weights = np.asarray(jnp.asarray(inv) @ C_cross).T
+        self.kriging_weights = (jnp.asarray(inv) @ C_cross).T
 
     def solve(self, mean=0.0):
         """Kriged field W y + mean (uses cached weights when present)."""
         if hasattr(self, "kriging_weights"):
-            return self.kriging_weights @ self.obs + mean
+            return np.asarray(
+                jnp.asarray(self.kriging_weights)
+                @ jnp.asarray(self.obs, jnp.asarray(self.kriging_weights).dtype)
+                + mean
+            )
         K, C_cross, C_diag = self._blocks()
         field, uncert2, cmask, V = _simple_core(
             K, C_cross, C_diag, jnp.asarray(self.obs, K.dtype), mean
         )
-        self.kriging_weights = np.asarray(V).T
+        self.kriging_weights = V.T  # device-resident
         self._uncert2 = uncert2
         self._cmask = cmask
         return np.asarray(field)
@@ -389,9 +398,7 @@ class OrdinaryKriging(Kriging):
         M = C_cross.shape[1]
         ones_m = jnp.ones((1, M), C_cross.dtype)
         ext = jnp.concatenate([C_cross, ones_m], axis=0)
-        self.kriging_weights = np.asarray(
-            (jnp.asarray(inv, C_cross.dtype) @ ext).T
-        )
+        self.kriging_weights = (jnp.asarray(inv, C_cross.dtype) @ ext).T
 
     def solve(self):
         """Kriged field; computes weights lazily via the bordered solve."""
@@ -400,7 +407,8 @@ class OrdinaryKriging(Kriging):
         if hasattr(self, "kriging_weights"):
             # user-injected weights path
             grid_obs = np.append(self.obs, 0).astype(self.obs.dtype)
-            return self.kriging_weights @ grid_obs
+            Wext = jnp.asarray(self.kriging_weights)
+            return np.asarray(Wext @ jnp.asarray(grid_obs, Wext.dtype))
         return self._full_solve()
 
     def get_uncertainty(self):
