@@ -77,20 +77,27 @@ def build_benchmark(m_lat=180, m_lon=360, n_obs=5000, n_members=100):
         lo_o = lo_b.reshape(-1)[idx]
         K = kernel_block(la_o, lo_o, la_o, lo_o) + jnp.diag(err_diag)
 
-        factor = jsl.cho_factor(K)
+        # One n x n Cholesky; per block only ONE triangular solve with B
+        # RHS is needed: field and colsum ride precomputed n-vectors
+        # (w = K^{-1}y, u = K^{-1}1), and diag(Cc' K^{-1} Cc) = column
+        # norms of L^{-1} Cc. Halves the M-RHS triangular work vs a
+        # cho_solve per block.
+        L = jnp.linalg.cholesky(K)
+        factor = (L, True)
         ones = jnp.ones((idx.shape[0],), la_b.dtype)
         u = jsl.cho_solve(factor, ones)
+        w = jsl.cho_solve(factor, y)
         s = jnp.sum(u)
         uy = u @ y
 
         def per_block(_, inputs):
             la_blk, lo_blk = inputs
             Cc = kernel_block(la_o, lo_o, la_blk, lo_blk)  # (n, B)
-            V = jsl.cho_solve(factor, Cc)
-            t = jnp.sum(V, axis=0)
+            t = u @ Cc
             lam = (t - 1.0) / s
-            field = V.T @ y - lam * uy
-            sv = jnp.einsum("nb,nb->b", Cc, V)
+            field = w @ Cc - lam * uy
+            U = jsl.solve_triangular(L, Cc, lower=True)
+            sv = jnp.einsum("nb,nb->b", U, U)
             wc = sv - lam * t
             uncert2 = psill - (wc + lam) - lam
             cmask = sv / psill
@@ -112,18 +119,19 @@ def build_benchmark(m_lat=180, m_lon=360, n_obs=5000, n_members=100):
         la_o = la_b.reshape(-1)[idx]
         lo_o = lo_b.reshape(-1)[idx]
         K = kernel_block(la_o, lo_o, la_o, lo_o) + jnp.diag(err_diag)
-        factor = jsl.cho_factor(K)
         L_obs = jnp.linalg.cholesky(K)
         z = jax.random.normal(
             key, (n_members, idx.shape[0]), la_b.dtype
         )
         sim_obs = z @ L_obs.T  # (members, n)
+        # Solve once against the (n, members) RHS; each block is then a
+        # pure MXU matmul S @ Cc — no M-RHS triangular solves at all.
+        S = jsl.cho_solve((L_obs, True), sim_obs.T).T  # (members, n)
 
         def per_block(_, inputs):
             la_blk, lo_blk = inputs
             Cc = kernel_block(la_o, lo_o, la_blk, lo_blk)
-            V = jsl.cho_solve(factor, Cc)
-            return None, sim_obs @ V  # (members, B)
+            return None, S @ Cc  # (members, B)
 
         _, blocks = jax.lax.scan(per_block, None, (la_b, lo_b))
         # (n_blocks, members, B) -> (members, M)
