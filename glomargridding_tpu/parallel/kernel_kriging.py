@@ -46,18 +46,23 @@ def sharded_kriging_from_kernel(
     lo_o = lo[idx]
 
     def local(la_blk, lo_blk, la_o, lo_o, y, E, var):
+        # One triangular solve with B RHS per device (replicated factor,
+        # replicated n-vector solves): same restructure as the
+        # single-chip streamed path (models.kernel_kriging).
         K = kernel_fn(la_o, lo_o, la_o, lo_o) + E
-        factor = jsl.cho_factor(K)
+        L = jnp.linalg.cholesky(K)
+        factor = (L, True)
         ones = jnp.ones((idx.shape[0],), la_blk.dtype)
         u = jsl.cho_solve(factor, ones)
+        w = jsl.cho_solve(factor, y)
         s = jnp.sum(u)
         uy = u @ y
         Cc = kernel_fn(la_o, lo_o, la_blk, lo_blk)
-        V = jsl.cho_solve(factor, Cc)
-        t = jnp.sum(V, axis=0)
+        U = jsl.solve_triangular(L, Cc, lower=True)
+        sv = jnp.einsum("nb,nb->b", U, U)
+        t = u @ Cc
         lam = (t - 1.0) / s
-        field = V.T @ y - lam * uy
-        sv = jnp.einsum("nb,nb->b", Cc, V)
+        field = w @ Cc - lam * uy
         wc = sv - lam * t
         uncert2 = var - (wc + lam) - lam
         cmask = sv / var
