@@ -389,8 +389,9 @@ class EllipseBuilder:
         d = x0_single.shape[0]
         cor_dev = jnp.asarray(self.cor)
 
-        def fun(p, X_i, y_i, w_i):
-            return matern_ellipse.nll(p, X_i, y_i, weights=w_i)
+        # Bound method (NOT a local closure): hashes stably, so the
+        # jitted batched optimiser compiles once per model instance.
+        fun = matern_ellipse._nll_fit
 
         all_x = []
         all_nit = []

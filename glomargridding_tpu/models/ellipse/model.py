@@ -291,6 +291,17 @@ class EllipseModel:
             case _:
                 raise ValueError("Unexpected length of self.n_params.")
 
+    def _nll_fit(self, params, X, y, weights):
+        """Positional-weights adapter used as the batched-fit objective.
+
+        Passed as a STATIC argument to the jitted batched optimisers: a
+        bound method of one model instance hashes stably across
+        ``compute_params`` calls, so the whole-grid fit compiles once
+        per model instance instead of once per call (a per-call closure
+        used to force a full ~3.5 s retrace every fit).
+        """
+        return self.nll(params, X, y, weights=weights)
+
     def nll(self, params, X, y, weights=None, arctanh_transform: bool = True):
         """Masked negative log-likelihood (traceable core).
 
