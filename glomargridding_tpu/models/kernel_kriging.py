@@ -34,25 +34,48 @@ class KrigingResult(NamedTuple):
     constraint_mask: jax.Array
 
 
-def variogram_kernel(
-    variogram,
-    distance: str = "haversine",
-    variance: float | None = None,
-    radius: float = RADIUS_OF_EARTH_KM,
-) -> Callable:
-    """Covariance kernel (lat1, lon1, lat2, lon2 in RADIANS) from a
-    variogram model.
+class _VariogramKernel:
+    """Covariance-kernel callable that hashes by VALUE.
 
-    `distance` is "haversine" (great-circle km), "chordal" (tunnel km) or
-    "cartesian" (planar degrees on raw coordinates). The kernel evaluates
-    ``variance - variogram(d)`` elementwise — fused by XLA into whatever
-    tile consumes it.
+    The streamed solvers take `kernel_fn` as a STATIC jit argument; a
+    per-call closure would give the compile cache a fresh key every
+    time a kernel is (re)constructed. Hashing on the variogram's field
+    values instead means `variogram_kernel(MaternVariogram(...))` built
+    twice with the same parameters reuses the compiled program.
     """
-    var = (
-        variogram.psill + variogram.nugget if variance is None else variance
-    )
 
-    def kernel(la1, lo1, la2, lo2):
+    def __init__(self, variogram, distance, variance, radius):
+        self.variogram = variogram
+        self.distance = distance
+        self.var = (
+            variogram.psill + variogram.nugget
+            if variance is None
+            else variance
+        )
+        self.radius = radius
+
+    def _cache_key(self):
+        import dataclasses
+
+        return (
+            type(self.variogram).__name__,
+            tuple(sorted(dataclasses.asdict(self.variogram).items())),
+            self.distance,
+            float(self.var),
+            float(self.radius),
+        )
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, _VariogramKernel)
+            and self._cache_key() == other._cache_key()
+        )
+
+    def __hash__(self):
+        return hash(self._cache_key())
+
+    def __call__(self, la1, lo1, la2, lo2):
+        distance, radius = self.distance, self.radius
         if distance == "cartesian":
             dy = jnp.degrees(la1[:, None] - la2[None, :])
             dx = jnp.degrees(lo1[:, None] - lo2[None, :])
@@ -71,9 +94,26 @@ def variogram_kernel(
                 d = radius * c
             else:
                 raise ValueError(f"Unknown distance: {distance}")
-        return var - variogram._kernel(d)
+        return self.var - self.variogram._kernel(d)
 
-    return kernel
+
+def variogram_kernel(
+    variogram,
+    distance: str = "haversine",
+    variance: float | None = None,
+    radius: float = RADIUS_OF_EARTH_KM,
+) -> Callable:
+    """Covariance kernel (lat1, lon1, lat2, lon2 in RADIANS) from a
+    variogram model.
+
+    `distance` is "haversine" (great-circle km), "chordal" (tunnel km) or
+    "cartesian" (planar degrees on raw coordinates). The kernel evaluates
+    ``variance - variogram(d)`` elementwise — fused by XLA into whatever
+    tile consumes it. The returned callable hashes by the variogram's
+    field values, so rebuilding the same kernel does not recompile the
+    streamed solvers.
+    """
+    return _VariogramKernel(variogram, distance, variance, radius)
 
 
 def _pad_blocks(arr, n_blocks):
