@@ -527,3 +527,33 @@ def test_compute_params_lbfgs_matches_nm(rng):
     np.testing.assert_allclose(
         p_lb["Ly"].values[sel], p_nm["Ly"].values[sel], rtol=0.05
     )
+
+
+def test_cov_builder_lazy_parity_attrs(rng):
+    """sigmas / sqrt_dets are computed lazily and match Sigma = R L R'."""
+    from glomargridding_tpu.models.ellipse.covariance import (
+        EllipseCovarianceBuilder,
+    )
+
+    nlat, nlon = 4, 5
+    Lx = 800 + 200 * rng.random((nlat, nlon))
+    Ly = 500 + 100 * rng.random((nlat, nlon))
+    th = rng.uniform(-1, 1, (nlat, nlon))
+    sd = 0.5 + rng.random((nlat, nlon))
+    b = EllipseCovarianceBuilder(
+        Lx, Ly, th, sd,
+        np.linspace(-30, 30, nlat), np.linspace(0, 40, nlon), v=1.5,
+    )
+    assert b._sigmas is None  # not materialised by the build
+    ct, st = np.cos(th.ravel()), np.sin(th.ravel())
+    s00 = ct**2 * Lx.ravel() ** 2 + st**2 * Ly.ravel() ** 2
+    s11 = st**2 * Lx.ravel() ** 2 + ct**2 * Ly.ravel() ** 2
+    s01 = ct * st * (Lx.ravel() ** 2 - Ly.ravel() ** 2)
+    np.testing.assert_allclose(b.sigmas[:, 0], s00, rtol=1e-5)
+    np.testing.assert_allclose(b.sigmas[:, 1], s01, rtol=1e-5, atol=1e-3)
+    np.testing.assert_allclose(b.sigmas[:, 3], s11, rtol=1e-5)
+    np.testing.assert_allclose(
+        b.sqrt_dets,
+        np.sqrt(s00 * s11 - s01 * s01),
+        rtol=1e-5,
+    )

@@ -171,3 +171,18 @@ def test_pad_month_observations(rng):
     )
     with pytest.raises(ValueError, match="bucket"):
         pad_month_observations([idx], [obs], [err], bucket=3)
+
+
+def test_variogram_kernel_hashes_by_value():
+    """Rebuilding an identical kernel must reuse the jit cache (the
+    solvers take kernel_fn as a STATIC argument)."""
+    v1 = MaternVariogram(psill=1.0, range=800.0, nu=1.5)
+    v2 = MaternVariogram(psill=1.0, range=800.0, nu=1.5)
+    k1 = variogram_kernel(v1)
+    k2 = variogram_kernel(v2)
+    assert k1 == k2
+    assert hash(k1) == hash(k2)
+    k3 = variogram_kernel(MaternVariogram(psill=1.0, range=900.0, nu=1.5))
+    assert k1 != k3
+    k4 = variogram_kernel(v1, distance="chordal")
+    assert k1 != k4

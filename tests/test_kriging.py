@@ -377,3 +377,50 @@ def test_precompute_states_both_routes(rng):
 
     with pytest.raises(ValueError, match="provide either"):
         precompute_states(jax.random.key(2), 4)
+
+
+def test_cov_device_cache_shared_across_instances(rng):
+    """One host covariance -> one device upload, reused by every solver.
+
+    (Perf contract: the canonical ensemble loop builds a fresh solver
+    per member from the SAME covariance array.)
+    """
+    n = 24
+    A = rng.normal(size=(n, n))
+    cov = (A @ A.T + n * np.eye(n)).astype(np.float32)
+    idx = np.arange(0, n, 3)
+    obs = rng.normal(size=len(idx)).astype(np.float32)
+    E = np.diag(np.full(len(idx), 0.05, dtype=np.float32))
+    k1 = StochasticKriging(cov, idx=idx, obs=obs, error_cov=E)
+    k2 = StochasticKriging(cov, idx=idx, obs=obs, error_cov=E)
+    assert k1._cov_device() is k2._cov_device()
+
+
+def test_stochastic_solve_non_pd_rescue(rng):
+    """A non-PD covariance must route through the eigen-repair rescue
+    and still return a finite member (reference stochastic.py:395-502
+    semantics)."""
+    import jax
+
+    n = 30
+    A = rng.normal(size=(n, 6))
+    cov = (A @ A.T).astype(np.float32)  # rank 6 -> Cholesky fails
+    cov += 1e-6 * np.eye(n, dtype=np.float32)
+    # push one eigenvalue slightly negative
+    w, v = np.linalg.eigh(cov.astype(np.float64))
+    w[0] = -1e-9
+    cov = (v @ np.diag(w) @ v.T).astype(np.float32)
+    idx = np.arange(0, n, 2)
+    obs = rng.normal(size=len(idx)).astype(np.float32)
+    E = np.diag(np.full(len(idx), 0.1, dtype=np.float32))
+    sk = StochasticKriging(cov, idx=idx, obs=obs, error_cov=E)
+    member = np.asarray(sk.solve(key=jax.random.key(7)))
+    assert member.shape == (n,)
+    assert np.isfinite(member).all()
+    # structural identity regardless of path taken
+    np.testing.assert_allclose(
+        np.asarray(sk.simulated_grid),
+        np.asarray(sk.simple_kriging_weights) @ np.asarray(sk.simulated_obs),
+        rtol=2e-4,
+        atol=2e-5,
+    )
