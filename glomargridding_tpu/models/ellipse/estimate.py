@@ -439,25 +439,51 @@ class EllipseBuilder:
         has_data = np.concatenate(all_has_data)
 
         names = list(param_names.keys())
-        for i in range(n_points):
-            if not has_data[i]:
-                warn(f"No training data for idx {i}")
-                continue
-            model_params = fitted[i].tolist()
-            self._check_params(matern_ellipse, model_params)
-            if not matern_ellipse.unit_sigma:
-                model_params.pop()
-            fit_success = (
-                _get_fit_score(model_params, bounds_out, int(nits[i]))
-                if successes[i]
-                else 9
-            )
-            model_params.append(float(np.sqrt(self.cov[i, i])))
-            model_params.append(fit_success)
-            model_params.append(int(nits[i]))
-            gi, gj = self.xi_masked[i], self.yi_masked[i]
-            for name, value in zip(names, model_params):
-                params[name].values[gj, gi] = value
+        for i in np.where(~has_data)[0]:
+            warn(f"No training data for idx {i}")
+
+        # Vectorised post-processing (identical semantics to the scalar
+        # _check_params / _get_fit_score pipeline; a Python loop here
+        # costs ~5 ms per 1k points x per-point overhead and would
+        # dominate whole-grid fits at 1-degree scale).
+        p = fitted.astype(float).copy()
+        if matern_ellipse.anisotropic:
+            swap = p[:, 1] > p[:, 0]
+            p[swap, 0], p[swap, 1] = fitted[swap, 1], fitted[swap, 0]
+            if matern_ellipse.rotated:
+                p[swap, 2] += np.pi / 2
+        if matern_ellipse.rotated:
+            th = p[:, 2]
+            th = np.where(th > np.pi, th - np.pi, th)
+            th = np.where(th <= -np.pi, th + np.pi, th)
+            p[:, 2] = th
+        n_model = len(names) - 3  # minus stdev / qc / niter slots
+        pm = p[:, :n_model]
+
+        score = np.zeros(n_points, dtype=int)
+        for j, bb in enumerate(bounds_out[:n_model]):
+            a = pm[:, j]
+            # math.isclose(a, b, rel_tol=0.01) semantics
+            tol = 0.01 * np.maximum(np.abs(a), abs(bb[0]))
+            left = np.abs(a - bb[0]) <= tol
+            tol = 0.01 * np.maximum(np.abs(a), abs(bb[1]))
+            right = np.abs(a - bb[1]) <= tol
+            score = np.where(left, np.where(score == 0, 1, 3), score)
+            score = np.where(right, np.where(score == 0, 2, 3), score)
+        score = np.where(successes, score, 9)
+
+        vals = np.column_stack(
+            [
+                pm,
+                np.sqrt(np.diagonal(self.cov)[:n_points]),
+                score.astype(float),
+                nits.astype(float),
+            ]
+        )
+        gj = np.asarray(self.yi_masked)[:n_points][has_data]
+        gi = np.asarray(self.xi_masked)[:n_points][has_data]
+        for k, name in enumerate(names):
+            params[name].values[gj, gi] = vals[has_data, k]
 
         return params
 
