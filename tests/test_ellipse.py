@@ -557,3 +557,42 @@ def test_cov_builder_lazy_parity_attrs(rng):
         np.sqrt(s00 * s11 - s01 * s01),
         rtol=1e-5,
     )
+
+
+def test_vectorised_postprocess_matches_scalar_semantics(rng):
+    """The vectorised compute_params post-processing must agree with the
+    scalar _check_params + _get_fit_score pipeline point by point."""
+    from glomargridding_tpu.models.ellipse.estimate import _get_fit_score
+
+    builder, lats, lons = _synthetic_builder(rng, size=(6, 8), n=2000)
+    model = EllipseModel(
+        anisotropic=True, rotated=True, physical_distance=True,
+        v=0.5, unit_sigma=True,
+    )
+    bounds = [(100.0, 20000.0), (100.0, 20000.0), (-2 * np.pi, 2 * np.pi)]
+    params = builder.compute_params(
+        default_value=[-999.0] * model.supercategory_n_params,
+        matern_ellipse=model,
+        max_distance=8000.0,
+        guesses=[500.0, 500.0, 0.0],
+        bounds=bounds,
+        delta_x_method="Modified_Met_Office",
+        tol=1e-5,
+    )
+    Lx = params["Lx"].values
+    Ly = params["Ly"].values
+    th = params["theta"].values
+    qc = params["qc_code"].values
+    nit = params["number_of_iterations"].values
+    fitted = Lx > 0
+    assert fitted.any()
+    # canonical form: Lx >= Ly, theta in (-pi, pi]
+    assert (Lx[fitted] >= Ly[fitted]).all()
+    assert (th[fitted] > -np.pi).all() and (th[fitted] <= np.pi).all()
+    # QC codes recomputed through the scalar scorer must match
+    for gj, gi in zip(*np.where(fitted)):
+        expected = _get_fit_score(
+            [Lx[gj, gi], Ly[gj, gi], th[gj, gi]], bounds, int(nit[gj, gi])
+        )
+        if qc[gj, gi] != 9:
+            assert qc[gj, gi] == expected, (gj, gi)
