@@ -71,27 +71,70 @@ def _var_dims(f: h5py.File, ds: h5py.Dataset) -> tuple[str, ...]:
     return tuple(dims)
 
 
+def _scalar_attr(val):
+    return np.asarray(val).reshape(-1)[0]
+
+
 def _decode_values(ds: h5py.Dataset) -> np.ndarray:
+    """CF-decode a variable's raw values.
+
+    netCDF semantics (CF conventions 2.5.1 / NUG): ``_FillValue`` matches
+    by EXACT equality — never a tolerance, which would NaN legitimate data
+    near the fill — and ``_FillValue`` / ``missing_value`` / ``valid_range``
+    / ``valid_min`` / ``valid_max`` are all expressed in the PACKED (raw)
+    domain, so masks are computed before ``scale_factor``/``add_offset``
+    are applied. ``_Unsigned = "true"`` reinterprets classic-model signed
+    storage as the unsigned type of the same width.
+    """
     data = ds[()]
     if data.dtype.kind in "SU":
         return data
-    fill = ds.attrs.get("_FillValue", ds.attrs.get("missing_value"))
-    scale = ds.attrs.get("scale_factor")
-    offset = ds.attrs.get("add_offset")
-    if fill is not None or scale is not None or offset is not None:
-        if data.dtype.kind in "iu" and (
-            scale is not None or offset is not None or fill is not None
-        ):
-            data = data.astype(np.float64)
+    attrs = ds.attrs
+
+    unsigned = attrs.get("_Unsigned")
+    if (
+        unsigned is not None
+        and str(_decode_attr(unsigned)).lower() == "true"
+        and data.dtype.kind == "i"
+    ):
+        data = data.view(np.dtype(f"u{data.dtype.itemsize}"))
+
+    fill = attrs.get("_FillValue", attrs.get("missing_value"))
+    scale = attrs.get("scale_factor")
+    offset = attrs.get("add_offset")
+    valid_min = attrs.get("valid_min")
+    valid_max = attrs.get("valid_max")
+    valid_range = attrs.get("valid_range")
+    if valid_range is not None:
+        vr = np.asarray(valid_range).reshape(-1)
+        valid_min, valid_max = vr[0], vr[-1]
+
+    mask = np.zeros(data.shape, dtype=bool)
+    if fill is not None:
+        fv = _scalar_attr(fill)
+        if data.dtype.kind == "f" and np.isnan(fv):
+            mask |= np.isnan(data)
         else:
-            data = np.array(data, copy=True)
-        if fill is not None and data.dtype.kind == "f":
-            fv = np.asarray(fill).reshape(-1)[0]
-            data[np.isclose(data, float(fv))] = np.nan
-        if scale is not None:
-            data = data * np.asarray(scale).reshape(-1)[0]
-        if offset is not None:
-            data = data + np.asarray(offset).reshape(-1)[0]
+            mask |= data == fv
+    if valid_min is not None:
+        mask |= data < _scalar_attr(valid_min)
+    if valid_max is not None:
+        mask |= data > _scalar_attr(valid_max)
+
+    has_mask = bool(mask.any())
+    if not (has_mask or scale is not None or offset is not None):
+        return data
+
+    if data.dtype.kind in "iu":
+        data = data.astype(np.float64)
+    else:
+        data = np.array(data, copy=True)
+    if scale is not None:
+        data = data * _scalar_attr(scale)
+    if offset is not None:
+        data = data + _scalar_attr(offset)
+    if has_mask:
+        data[mask] = np.nan
     return data
 
 

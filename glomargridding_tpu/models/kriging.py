@@ -32,8 +32,8 @@ device arrays and matching the reference's constructor/attribute surface
 (``covariance``, ``idx``, ``obs``, ``error_cov``, ``kriging_weights``).
 """
 
-import weakref
 from abc import ABC, abstractmethod
+from collections import OrderedDict
 from typing import Literal
 from warnings import warn
 
@@ -164,10 +164,44 @@ def _finalise_uncert(uncert2):
     return uncert
 
 
-# Device copies of host covariance matrices, shared across solver
-# instances (see Kriging._cov_device). id -> jax.Array; evicted via
-# weakref.finalize when the host array dies.
-_COV_DEVICE_CACHE: dict = {}
+class _CovDeviceCache:
+    """Size-capped LRU of device copies of host covariance matrices.
+
+    Plain ``np.ndarray`` is not weakref-able, so eviction cannot ride the
+    host array's garbage collection; instead each entry pins the host
+    array (which also makes the ``id`` key collision-proof: an id cannot
+    be reused while the entry holds a reference) and the cache is bounded
+    to `max_entries` device copies, evicting least-recently-used. One 65k
+    f32 covariance is ~17 GB of HBM, so the bound is deliberately tiny —
+    the canonical ensemble loop builds many solvers from ONE covariance.
+    """
+
+    def __init__(self, max_entries: int = 2):
+        self.max_entries = max_entries
+        self._entries: "OrderedDict[int, tuple]" = OrderedDict()
+
+    def get_or_put(self, host_array):
+        key = id(host_array)
+        hit = self._entries.get(key)
+        if hit is not None and hit[0] is host_array:
+            self._entries.move_to_end(key)
+            return hit[1]
+        device_array = jnp.asarray(host_array)
+        self._entries[key] = (host_array, device_array)
+        self._entries.move_to_end(key)
+        while len(self._entries) > self.max_entries:
+            self._entries.popitem(last=False)
+        return device_array
+
+    def __len__(self) -> int:
+        return len(self._entries)
+
+    def clear(self) -> None:
+        self._entries.clear()
+
+
+# Shared across solver instances (see Kriging._cov_device).
+_COV_DEVICE_CACHE = _CovDeviceCache()
 
 
 # ===========================================================================
@@ -233,22 +267,11 @@ class Kriging(ABC):
         array's identity: the canonical ensemble loop constructs a fresh
         solver per member from ONE covariance, and re-uploading an
         N x N matrix per member would dominate the step time on a
-        remote-tunnel backend. Entries are evicted when the host array
-        is garbage collected.
+        remote-tunnel backend. The cache is a tiny LRU (HBM-sized
+        matrices; see :class:`_CovDeviceCache`).
         """
         if getattr(self, "_cov_dev", None) is None:
-            key = id(self.covariance)
-            cached = _COV_DEVICE_CACHE.get(key)
-            if cached is None:
-                cached = jnp.asarray(self.covariance)
-                _COV_DEVICE_CACHE[key] = cached
-                try:
-                    weakref.finalize(
-                        self.covariance, _COV_DEVICE_CACHE.pop, key, None
-                    )
-                except TypeError:  # non-weakref-able host container
-                    pass
-            self._cov_dev = cached
+            self._cov_dev = _COV_DEVICE_CACHE.get_or_put(self.covariance)
         return self._cov_dev
 
     def _blocks(self):

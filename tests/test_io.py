@@ -45,6 +45,65 @@ def test_format_string_paths(tmp_path):
         load_dataset(str(tmp_path / "nope.nc"))
 
 
+def test_fill_value_exact_equality(tmp_path):
+    """netCDF fill matching is EXACT equality — data merely near the
+    fill (within the old np.isclose tolerance) must survive decoding."""
+    import h5py
+
+    path = str(tmp_path / "fill.nc")
+    vals = np.array([-999.0, -998.995, 1.5, -999.0001], dtype=np.float64)
+    with h5py.File(path, "w") as f:
+        d = f.create_dataset("x", data=vals)
+        d.attrs["_FillValue"] = np.float64(-999.0)
+    out = open_dataset(path)["x"].values
+    assert np.isnan(out[0])
+    # |-998.995 + 999| = 5e-3 < rtol*999 ~ 1e-2: isclose would NaN it
+    assert out[1] == -998.995
+    assert out[2] == 1.5
+    assert out[3] == -999.0001
+
+
+def test_packed_int_valid_range_and_unsigned(tmp_path):
+    """CF packed-domain decoding: _FillValue/valid_range are matched on
+    the RAW ints before scale/offset; _Unsigned reinterprets storage."""
+    import h5py
+
+    path = str(tmp_path / "packed.nc")
+    raw = np.array([-32768, -32767, 0, 20000, 32000], dtype=np.int16)
+    with h5py.File(path, "w") as f:
+        d = f.create_dataset("sst", data=raw)
+        d.attrs["_FillValue"] = np.int16(-32768)
+        d.attrs["valid_range"] = np.array([-32767, 30000], dtype=np.int16)
+        d.attrs["scale_factor"] = np.float64(0.01)
+        d.attrs["add_offset"] = np.float64(273.15)
+        u = f.create_dataset("counts", data=np.array([-1, 5], dtype=np.int8))
+        u.attrs["_Unsigned"] = b"true"
+    ds = open_dataset(path)
+    sst = ds["sst"].values
+    assert np.isnan(sst[0])  # fill (exact, packed domain)
+    np.testing.assert_allclose(sst[1], 273.15 - 327.67)
+    np.testing.assert_allclose(sst[2], 273.15)
+    np.testing.assert_allclose(sst[3], 273.15 + 200.0)
+    assert np.isnan(sst[4])  # above valid_range max
+    counts = ds["counts"].values
+    assert counts.dtype == np.uint8
+    assert counts[0] == 255 and counts[1] == 5
+
+
+def test_nan_fill_value(tmp_path):
+    import h5py
+
+    path = str(tmp_path / "nanfill.nc")
+    with h5py.File(path, "w") as f:
+        d = f.create_dataset(
+            "x", data=np.array([np.nan, 2.0], dtype=np.float32)
+        )
+        d.attrs["_FillValue"] = np.float32(np.nan)
+        d.attrs["add_offset"] = np.float64(1.0)
+    out = open_dataset(path)["x"].values
+    assert np.isnan(out[0]) and out[1] == 3.0
+
+
 @requires_reference_data
 def test_read_reference_ellipse_params():
     ds = open_dataset(reference_data_path("Atlantic_Ocean_07.nc"))

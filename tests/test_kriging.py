@@ -396,6 +396,32 @@ def test_cov_device_cache_shared_across_instances(rng):
     assert k1._cov_device() is k2._cov_device()
 
 
+def test_cov_device_cache_is_bounded(rng):
+    """Solvers over many DISTINCT covariances must not grow the device
+    cache unboundedly (round-1 leak: weakref.finalize on np.ndarray always
+    raises, so nothing ever evicted)."""
+    from glomargridding_tpu.models.kriging import _COV_DEVICE_CACHE
+
+    _COV_DEVICE_CACHE.clear()
+    n = 16
+    idx = np.arange(0, n, 3)
+    obs = rng.normal(size=len(idx)).astype(np.float32)
+    E = np.diag(np.full(len(idx), 0.05, dtype=np.float32))
+    solvers = []
+    for _ in range(7):
+        A = rng.normal(size=(n, n))
+        cov = (A @ A.T + n * np.eye(n)).astype(np.float32)
+        k = StochasticKriging(cov, idx=idx, obs=obs, error_cov=E)
+        k._cov_device()
+        solvers.append(k)
+    assert len(_COV_DEVICE_CACHE) <= _COV_DEVICE_CACHE.max_entries
+    # the most recent entry is still a hit (LRU keeps the hot one)
+    assert (
+        solvers[-1]._cov_device()
+        is _COV_DEVICE_CACHE.get_or_put(solvers[-1].covariance)
+    )
+
+
 def test_stochastic_solve_non_pd_rescue(rng):
     """A non-PD covariance must route through the eigen-repair rescue
     and still return a finite member (reference stochastic.py:395-502
