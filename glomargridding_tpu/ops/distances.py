@@ -333,16 +333,97 @@ def haversine_gaussian(
     return s / 2.0 * C
 
 
-def tau_dist_from_frame(df) -> np.ndarray:
+# WGS84 ellipsoid (the datum behind the reference's EPSG:4326 -> tmerc
+# reprojection).
+WGS84_A_KM = 6378.137
+WGS84_F = 1.0 / 298.257223563
+
+
+def tmerc_forward(
+    lats_deg,
+    lons_deg,
+    lat0_deg: float,
+    lon0_deg: float,
+    k0: float = 0.9996,
+    a: float = WGS84_A_KM,
+    f: float = WGS84_F,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Ellipsoidal Transverse Mercator forward projection (km).
+
+    Exact (nanometre-class) Gauss-Krueger projection via the 6th-order
+    Krueger alpha series in the third flattening n (Karney 2011,
+    "Transverse Mercator with an accuracy of a few nanometers" — standard
+    published coefficients), written in plain numpy so the reference's
+    ``+proj=tmerc +lat_0=.. +lon_0=.. +k=0.9996 +units=km`` CRS
+    (``distances.py:267-312``) is reproduced without pyproj/geopandas.
+    Returns (easting, northing) in km with the false origin at
+    (lat0, lon0): northing is measured from the lat0 parallel.
+    """
+    lats = np.radians(np.asarray(lats_deg, dtype=np.float64))
+    lons = np.asarray(lons_deg, dtype=np.float64)
+    dlam = np.radians(((lons - lon0_deg) + 180.0) % 360.0 - 180.0)
+
+    n = f / (2.0 - f)
+    n2, n3 = n * n, n**3
+    n4, n5, n6 = n**4, n**5, n**6
+    # rectifying radius
+    A = a / (1.0 + n) * (1.0 + n2 / 4.0 + n4 / 64.0 + n6 / 256.0)
+    alpha = np.array(
+        [
+            n / 2.0 - 2.0 * n2 / 3.0 + 5.0 * n3 / 16.0 + 41.0 * n4 / 180.0
+            - 127.0 * n5 / 288.0 + 7891.0 * n6 / 37800.0,
+            13.0 * n2 / 48.0 - 3.0 * n3 / 5.0 + 557.0 * n4 / 1440.0
+            + 281.0 * n5 / 630.0 - 1983433.0 * n6 / 1935360.0,
+            61.0 * n3 / 240.0 - 103.0 * n4 / 140.0 + 15061.0 * n5 / 26880.0
+            + 167603.0 * n6 / 181440.0,
+            49561.0 * n4 / 161280.0 - 179.0 * n5 / 168.0
+            + 6601661.0 * n6 / 7257600.0,
+            34729.0 * n5 / 80640.0 - 3418889.0 * n6 / 1995840.0,
+            212378941.0 * n6 / 149968080.0,
+        ]
+    )
+    e = math.sqrt(f * (2.0 - f))
+
+    def _xi_eta(phi, lam):
+        s = np.clip(np.sin(phi), -1.0, 1.0)
+        # conformal latitude chi: tan(chi) = sinh(asinh-style combination)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = np.sinh(np.arctanh(s) - e * np.arctanh(e * s))
+        t = np.where(np.abs(s) >= 1.0, np.copysign(np.inf, s), t)
+        xi_p = np.arctan2(t, np.cos(lam))
+        eta_p = np.arcsinh(np.sin(lam) / np.hypot(t, np.cos(lam)))
+        j = np.arange(1, 7, dtype=np.float64)
+        two_j_xi = 2.0 * j[:, None] * np.ravel(xi_p)[None, :]
+        two_j_eta = 2.0 * j[:, None] * np.ravel(eta_p)[None, :]
+        xi = np.ravel(xi_p) + alpha @ (np.sin(two_j_xi) * np.cosh(two_j_eta))
+        eta = np.ravel(eta_p) + alpha @ (
+            np.cos(two_j_xi) * np.sinh(two_j_eta)
+        )
+        return xi.reshape(np.shape(phi)), eta.reshape(np.shape(phi))
+
+    xi, eta = _xi_eta(lats, dlam)
+    xi0, _ = _xi_eta(np.asarray(math.radians(lat0_deg)), np.asarray(0.0))
+    easting = k0 * A * eta
+    northing = k0 * A * (xi - float(xi0))
+    return easting, northing
+
+
+def tau_dist_from_frame(df, displacement: str = "tmerc") -> np.ndarray:
     """exp(-tau) matrix for all records within one gridbox.
 
     Requires columns lat/lon plus gridbox ellipse parameters
     grid_lat/grid_lon/grid_lx/grid_ly/grid_theta (first row used — all
-    records share the gridbox). The reference reprojects to northing/easting
-    via a Transverse Mercator CRS (geopandas); here displacements use the
-    local-tangent approximation about the gridbox centre, which agrees with
-    TM to <0.1% at gridbox scales and keeps the path dependency-free.
-    (Capability parity: reference ``distances.py:384-433``.)
+    records share the gridbox). ``displacement`` selects how observation
+    coordinates become local northing/easting:
+
+    - ``"tmerc"`` (default): exact Transverse Mercator about the gridbox
+      centre with the reference's scale factor k=0.9996 on WGS84 — the
+      same reprojection the reference performs through geopandas/pyproj
+      (``distances.py:384-433``), so the result is reference-exact.
+    - ``"tangent"``: spherical local-tangent approximation (cheaper;
+      agrees with tmerc to ~0.5% at gridbox scales, dominated by the
+      spherical-vs-ellipsoidal meridian curvature — pinned by
+      ``tests/test_distances.py``).
     """
     from ..utils.frames import check_cols
 
@@ -357,17 +438,24 @@ def tau_dist_from_frame(df) -> np.ndarray:
     ]
     check_cols(df, required)
     lat0 = float(np.asarray(df["grid_lat"])[0])
+    lon0 = float(np.asarray(df["grid_lon"])[0])
     Lx = float(np.asarray(df["grid_lx"])[0])
     Ly = float(np.asarray(df["grid_ly"])[0])
     theta = float(np.asarray(df["grid_theta"])[0])
 
     lats = np.asarray(df["lat"], dtype=float)
     lons = np.asarray(df["lon"], dtype=float)
-    # Local tangent-plane northing/easting (km) about the gridbox centre.
-    km_per_deg = RADIUS_OF_EARTH_KM * math.pi / 180.0
-    northing = lats * km_per_deg
-    easting = lons * km_per_deg * math.cos(math.radians(lat0))
+    if displacement == "tmerc":
+        easting, northing = tmerc_forward(lats, lons, lat0, lon0)
+    elif displacement == "tangent":
+        km_per_deg = RADIUS_OF_EARTH_KM * math.pi / 180.0
+        northing = lats * km_per_deg
+        easting = lons * km_per_deg * math.cos(math.radians(lat0))
+    else:
+        raise ValueError(f"unknown displacement method {displacement!r}")
     dN = northing[:, None] - northing[None, :]
     dE = easting[:, None] - easting[None, :]
-    tau = np.asarray(mahal_dist_func(jnp.asarray(dE), jnp.asarray(dN), Lx, Ly, theta))
+    tau = np.asarray(
+        mahal_dist_func(jnp.asarray(dE), jnp.asarray(dN), Lx, Ly, theta)
+    )
     return np.exp(-tau)

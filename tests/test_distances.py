@@ -157,3 +157,85 @@ def test_tau_dist_from_frame():
     np.testing.assert_allclose(np.diag(out), 1.0)  # exp(-0)
     assert (out <= 1.0).all() and (out > 0).all()
     assert np.allclose(out, out.T)
+
+
+def test_tmerc_forward_meridian_arc():
+    """Northing along the central meridian must equal the true meridian
+    arc length integral(M(phi) dphi) — an oracle independent of the
+    Krueger series (reference CRS: tmerc on WGS84, distances.py:303-305).
+    """
+    from scipy.integrate import quad
+
+    from glomargridding_tpu.ops.distances import (
+        WGS84_A_KM,
+        WGS84_F,
+        tmerc_forward,
+    )
+
+    a, f = WGS84_A_KM, WGS84_F
+    e2 = f * (2.0 - f)
+
+    def meridian_M(phi):
+        return a * (1.0 - e2) / (1.0 - e2 * np.sin(phi) ** 2) ** 1.5
+
+    for lat in (1.0, 45.0, 70.0, 89.0):
+        arc, _err = quad(meridian_M, 0.0, np.radians(lat), epsabs=1e-12)
+        _, northing = tmerc_forward([lat], [0.0], 0.0, 0.0, k0=1.0)
+        np.testing.assert_allclose(northing[0], arc, rtol=1e-10)
+
+    # quarter meridian, WGS84: 10001.965729 km (and the pole is finite)
+    _, quarter = tmerc_forward([90.0], [0.0], 0.0, 0.0, k0=1.0)
+    np.testing.assert_allclose(quarter[0], 10001.965729, rtol=1e-8)
+
+    # k0 scales the projection uniformly
+    _, n_k = tmerc_forward([45.0], [0.0], 0.0, 0.0, k0=0.9996)
+    _, n_1 = tmerc_forward([45.0], [0.0], 0.0, 0.0, k0=1.0)
+    np.testing.assert_allclose(n_k[0], 0.9996 * n_1[0], rtol=1e-14)
+
+
+def test_tmerc_forward_small_easting_limit():
+    """For small dlon, easting -> k0 * N(phi) * cos(phi) * dlam where
+    N is the prime-vertical curvature radius (first-order TM property)."""
+    from glomargridding_tpu.ops.distances import (
+        WGS84_A_KM,
+        WGS84_F,
+        tmerc_forward,
+    )
+
+    a, f = WGS84_A_KM, WGS84_F
+    e2 = f * (2.0 - f)
+    dlon = 1e-4  # degrees
+    for lat in (0.0, 35.0, 60.0):
+        easting, _ = tmerc_forward([lat], [dlon], lat, 0.0)
+        phi = np.radians(lat)
+        N = a / np.sqrt(1.0 - e2 * np.sin(phi) ** 2)
+        expected = 0.9996 * N * np.cos(phi) * np.radians(dlon)
+        np.testing.assert_allclose(easting[0], expected, rtol=1e-7)
+
+
+def test_tau_tangent_vs_tmerc_bound():
+    """Pin the documented tangent-plane-vs-TM agreement: for gridbox-scale
+    clouds at mid and high latitude the exp(-tau) matrices agree to ~0.5%
+    absolute (the gap is spherical-vs-ellipsoidal curvature, not TM
+    series truncation)."""
+    rng = np.random.default_rng(7)
+    for lat0, lon0 in ((45.0, -30.0), (70.0, 10.0)):
+        n = 12
+        df = pd.DataFrame(
+            {
+                "lat": lat0 + rng.uniform(-0.5, 0.5, n),
+                "lon": lon0 + rng.uniform(-0.5, 0.5, n),
+                "grid_lat": [lat0] * n,
+                "grid_lon": [lon0] * n,
+                "grid_lx": [80.0] * n,
+                "grid_ly": [40.0] * n,
+                "grid_theta": [0.4] * n,
+            }
+        )
+        exact = tau_dist_from_frame(df, displacement="tmerc")
+        approx = tau_dist_from_frame(df, displacement="tangent")
+        assert np.max(np.abs(exact - approx)) < 5e-3
+        np.testing.assert_allclose(np.diag(exact), 1.0)
+
+    with pytest.raises(ValueError, match="unknown displacement"):
+        tau_dist_from_frame(df, displacement="nope")
