@@ -21,6 +21,7 @@ The re-synthesis V diag(w) V' runs as two MXU matmuls.
 """
 
 import logging
+from dataclasses import dataclass
 from typing import Any, Literal
 from warnings import warn
 
@@ -29,8 +30,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utils.arrays import cor_2_cov, cov_2_cor
+from .eigsh import topk_eigh
 
 logger = logging.getLogger(__name__)
+
+# Above this size "auto" clips switch from the full spectrum to the
+# randomized top-k path: host LAPACK eigh is O(n^3) single-threaded
+# (minutes at 8k, hours at 65k) while the clip needs only the top of the
+# spectrum + the trace.
+_AUTO_PARTIAL_THRESHOLD = 4096
 
 
 def check_symmetric(a, rtol: float = 1e-5, atol: float = 1e-8) -> bool:
@@ -180,13 +188,287 @@ def _find_index_aspect_ratio(
     return -int(np.sum(np.asarray(eigvals) > threshold))
 
 
-def explained_variance_clip(cov, target_variance_fraction: float = 0.95):
+# ---------------------------------------------------------------------------
+# Device-scale (partial-spectrum) clipping
+# ---------------------------------------------------------------------------
+@dataclass
+class LowRankPSD:
+    r"""A clipped covariance in factored form: diag(floor) + W diag(g) W'.
+
+    Both trace-preserving clips produce exactly this structure — the
+    retained eigenspace keeps its spectrum, everything orthogonal to it
+    gets a uniform eigenvalue (the "floor") — so at 65k the repaired
+    covariance never needs to exist as an n x n array: matvecs are one
+    (n, r) matmul pair and exact N(0, C) draws cost O(n(r + members))
+    (``draw``), which plugs straight into the ensemble pipeline.
+    """
+
+    vectors: jax.Array  # (n, r); orthonormal iff floor is uniform
+    gains: jax.Array  # (r,) nonnegative spectral surplus over the floor
+    floor: jax.Array  # (n,) nonnegative diagonal floor
+
+    @property
+    def n(self) -> int:
+        return int(self.vectors.shape[0])
+
+    @property
+    def rank(self) -> int:
+        return int(self.vectors.shape[1])
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        return (self.n, self.n)
+
+    def matvec(self, x):
+        """(diag(floor) + W g W') @ x for x of shape (n,) or (n, b)."""
+        x = jnp.asarray(x)
+        fl = self.floor if x.ndim == 1 else self.floor[:, None]
+        g = self.gains if x.ndim == 1 else self.gains[:, None]
+        return fl * x + self.vectors @ (g * (self.vectors.T @ x))
+
+    def diagonal(self):
+        return self.floor + jnp.sum(
+            self.vectors**2 * self.gains[None, :], axis=1
+        )
+
+    def trace(self) -> float:
+        return float(jnp.sum(self.floor) + jnp.sum(self.gains))
+
+    def to_dense(self) -> np.ndarray:
+        out = (self.vectors * self.gains[None, :]) @ self.vectors.T
+        return np.asarray(out + jnp.diag(self.floor))
+
+    def draw(self, key, n_members: int):
+        """(n_members, n) exact draws of N(0, diag(floor) + W g W')."""
+        k1, k2 = jax.random.split(jnp.asarray(key))
+        dt = self.vectors.dtype
+        z1 = jax.random.normal(k1, (self.n, n_members), dt)
+        z2 = jax.random.normal(k2, (self.rank, n_members), dt)
+        x = jnp.sqrt(self.floor)[:, None] * z1 + self.vectors @ (
+            jnp.sqrt(self.gains)[:, None] * z2
+        )
+        return x.T
+
+
+def _adaptive_topk(matvec, n, accept, k0, max_rank, **topk_kwargs):
+    """Double k until `accept(w)` finds the needed leading pairs within
+    the well-converged HALF of the computed Ritz values.
+
+    The boundary pair's accuracy is governed by the spectral ratio
+    lambda_{k+p} / lambda_r, so acceptance requires r <= k // 2: the
+    effective oversampling then scales with the retained rank itself,
+    which keeps the clip LAPACK-accurate on decaying spectra (pinned by
+    tests at 2048 vs full eigh and 16,384 vs an analytic operator).
+    """
+    k = min(n, k0)
+    while True:
+        w, V = topk_eigh(matvec, k, n, **topk_kwargs)
+        r = accept(w)
+        if r is not None and (r <= k // 2 or k >= n):
+            return w, V, r
+        if k >= min(n, max_rank):
+            raise ValueError(
+                "Partial-spectrum clip did not converge within "
+                f"max_rank={max_rank} eigenpairs — the spectrum is too "
+                "flat for a low-rank clip; lower the target or use "
+                "spectrum='full'."
+            )
+        k = min(n, min(max_rank, 2 * k))
+
+
+def explained_variance_clip_lowrank(
+    operator,
+    n: int | None = None,
+    trace: float | None = None,
+    target_variance_fraction: float = 0.95,
+    *,
+    key=None,
+    k0: int = 64,
+    max_rank: int = 2048,
+    oversample: int = 8,
+    n_iter: int = 6,
+    dtype=None,
+) -> LowRankPSD:
+    """Trace-preserving explained-variance clip WITHOUT the full spectrum.
+
+    The clip keeps the top-r eigenpairs (r = smallest count whose
+    eigenvalues exceed ``target_variance_fraction`` of the trace) and
+    assigns every remaining direction their average eigenvalue — which is
+    exactly ``avg * I + V_r diag(w_r - avg) V_r'``, so only the top of the
+    spectrum is ever computed (randomized subspace iteration,
+    ``ops.eigsh``). Accepts a dense matrix or a matvec callable (with `n`
+    and `trace` supplied); the 65k path passes
+    ``ops.sampling.kernel_matvec`` / ``dense_matvec`` and never
+    materialises anything n x n. (Scale analog of reference
+    ``covariance_tools.py:633-728`` + ``:325``.)
+    """
+    if not 0.0 < target_variance_fraction <= 1.0:
+        raise ValueError("'target_variance_fraction' must be (0, 1.0]")
+    if not callable(operator):
+        A = jnp.asarray(operator)
+        trace = float(jnp.trace(A)) if trace is None else trace
+        n = A.shape[0]
+        matvec = None
+    else:
+        if n is None or trace is None:
+            raise ValueError(
+                "n and trace are required for a callable operator"
+            )
+        matvec = operator
+    target = target_variance_fraction * trace
+
+    def accept(w):
+        csum = np.cumsum(w)
+        hit = np.nonzero(csum > target)[0]
+        return int(hit[0]) + 1 if hit.size else None
+
+    w, V, r = _adaptive_topk(
+        matvec if matvec is not None else A,
+        n,
+        accept,
+        k0,
+        max_rank,
+        key=key,
+        oversample=oversample,
+        n_iter=n_iter,
+        dtype=dtype,
+    )
+    retained = w[:r]
+    var_explained = float(retained.sum())
+    if trace < var_explained:
+        new_threshold = float(retained[:-1].sum()) / trace
+        raise ValueError(
+            "Variance explained by retained eigenvalues exceeds total "
+            "variance. Resulting matrix will have negative eigenvalues. "
+            f"Try using a lower threshold. A value below {new_threshold:.2f}"
+            " may work."
+        )
+    avg = (trace - var_explained) / (n - r)
+    logger.info("total explained variance = %s", trace)
+    logger.info("clipped explained variance = %s", var_explained)
+    vecs = V[:, :r]
+    gains = jnp.maximum(jnp.asarray(retained - avg, vecs.dtype), 0.0)
+    floor = jnp.full((n,), avg, vecs.dtype)
+    return LowRankPSD(vectors=vecs, gains=gains, floor=floor)
+
+
+def laloux_clip_lowrank(
+    operator,
+    diag=None,
+    n: int | None = None,
+    num_grid_pts: int | None = None,
+    num_time_pts: int = 40,
+    *,
+    key=None,
+    k0: int = 64,
+    max_rank: int = 2048,
+    oversample: int = 8,
+    n_iter: int = 6,
+    dtype=None,
+) -> LowRankPSD:
+    """RMT (Laloux 2000) clip without the full spectrum.
+
+    Standardises to the correlation operator, keeps every eigenvalue above
+    the random-matrix ceiling (1 + sqrt(q))^2, floors the rest at their
+    average (trace of a correlation matrix = n), and rescales back by the
+    variances. `diag` (the covariance diagonal) is required for callable
+    operators. (Scale analog of reference ``covariance_tools.py:519-630``.)
+    """
+    if not callable(operator):
+        A = jnp.asarray(operator)
+        n = A.shape[0]
+        diag = jnp.diagonal(A) if diag is None else jnp.asarray(diag)
+        base_mv = lambda X: A @ X  # noqa: E731
+    else:
+        if n is None or diag is None:
+            raise ValueError(
+                "n and diag are required for a callable operator"
+            )
+        diag = jnp.asarray(diag)
+        base_mv = operator
+    d = jnp.sqrt(diag)
+    inv_d = 1.0 / d
+
+    def cor_mv(X):
+        scale = inv_d if X.ndim == 1 else inv_d[:, None]
+        return scale * jnp.asarray(base_mv(scale * X))
+
+    num_grid_pts = num_grid_pts or n
+    q = num_grid_pts / num_time_pts
+    if q < 1.0:
+        q = 1.0 / q
+    threshold = (1.0 + np.sqrt(q)) ** 2.0
+
+    def accept(w):
+        # all above-threshold pairs are captured once the computed head
+        # dips below the ceiling
+        if w[-1] > threshold:
+            return None
+        return max(int(np.sum(w > threshold)), 1)
+
+    w, V, r = _adaptive_topk(
+        cor_mv,
+        n,
+        accept,
+        k0,
+        max_rank,
+        key=key,
+        oversample=oversample,
+        n_iter=n_iter,
+        dtype=dtype,
+    )
+    retained = w[:r]
+    avg = (n - float(retained.sum())) / (n - r)
+    if avg < 0:
+        raise ValueError(
+            "Retained eigenvalues exceed the correlation trace; the "
+            "aspect-ratio threshold retained too much variance."
+        )
+    vecs = d[:, None] * V[:, :r]
+    gains = jnp.maximum(jnp.asarray(retained - avg, vecs.dtype), 0.0)
+    floor = avg * diag.astype(vecs.dtype)
+    return LowRankPSD(vectors=vecs, gains=gains, floor=floor)
+
+
+Spectrum = Literal["auto", "full", "partial"]
+
+
+def _use_partial(n: int, spectrum: Spectrum) -> bool:
+    match spectrum:
+        case "full":
+            return False
+        case "partial":
+            return True
+        case "auto":
+            return n > _AUTO_PARTIAL_THRESHOLD
+        case _:
+            raise ValueError(f"unknown spectrum mode {spectrum!r}")
+
+
+def explained_variance_clip(
+    cov,
+    target_variance_fraction: float = 0.95,
+    spectrum: Spectrum = "auto",
+    **partial_kwargs,
+):
     """Trace-preserving clip keeping EOFs up to a target explained variance.
 
     Eigenvalues outside the retained set (small positive and negative) are
     replaced by their common average so the total variance is conserved.
+    ``spectrum`` selects the eigensolver: "full" (exact LAPACK spectrum),
+    "partial" (randomized top-k — the only path that scales past ~10k),
+    or "auto" (partial above n=4096). Both return the same matrix to
+    solver accuracy (pinned by tests).
     (Parity: reference ``covariance_tools.py:633-728``.)
     """
+    n = np.asarray(cov).shape[0] if not callable(cov) else None
+    if callable(cov) or _use_partial(n, spectrum):
+        lr = explained_variance_clip_lowrank(
+            cov,
+            target_variance_fraction=target_variance_fraction,
+            **partial_kwargs,
+        )
+        return lr.to_dense()
     if not 0.0 < target_variance_fraction <= 1.0:
         raise ValueError("'target_variance_fraction' must be (0, 1.0]")
     eigvals, eigvecs = _eigh(cov)
@@ -196,13 +478,29 @@ def explained_variance_clip(cov, target_variance_fraction: float = 0.95):
     return _eigenvalue_clip(eigvals, eigvecs, keep_i)
 
 
-def laloux_clip(cov, num_grid_pts: int | None = None, num_time_pts: int = 40):
+def laloux_clip(
+    cov,
+    num_grid_pts: int | None = None,
+    num_time_pts: int = 40,
+    spectrum: Spectrum = "auto",
+    **partial_kwargs,
+):
     """RMT (Laloux 2000) clip on the correlation matrix.
 
     Standardise to correlation, clip eigenvalues below the random-matrix
     ceiling (1 + sqrt(q))^2, rescale back to covariance with the original
-    variances. (Parity: reference ``covariance_tools.py:519-630``.)
+    variances. ``spectrum`` as in :func:`explained_variance_clip`.
+    (Parity: reference ``covariance_tools.py:519-630``.)
     """
+    n = np.asarray(cov).shape[0] if not callable(cov) else None
+    if callable(cov) or _use_partial(n, spectrum):
+        lr = laloux_clip_lowrank(
+            cov,
+            num_grid_pts=num_grid_pts,
+            num_time_pts=num_time_pts,
+            **partial_kwargs,
+        )
+        return lr.to_dense()
     cov = np.asarray(cov)
     num_grid_pts = num_grid_pts or cov.shape[0]
     variances = np.diag(cov)

@@ -1,0 +1,129 @@
+r"""Randomized partial symmetric eigensolver (top-k Ritz pairs).
+
+TPU-native analog of the reference's partial spectrum call
+``scipy.linalg.eigh(subset_by_index=...)`` (``covariance_tools.py:325``):
+XLA:TPU's full ``eigh`` is an iterative Jacobi that is ~two orders of
+magnitude slower than host LAPACK and O(n^3) regardless, while eigenvalue
+clipping only ever needs the TOP of the spectrum plus the trace. This
+module computes the dominant k Ritz pairs by randomized subspace
+iteration (Halko, Martinsson & Tropp 2011, alg. 4.4 + Rayleigh-Ritz):
+``n_iter + 2`` applications of the operator to an (n, k+p) block — each
+one big MXU matmul — plus tall-skinny QRs and one tiny host ``eigh`` of
+the (k+p, k+p) projection.
+
+The operator can be a dense device matrix, a bf16-stored matrix, or a
+kernel-streamed matvec (``ops.sampling.dense_matvec`` /
+``kernel_matvec``), so the same code path scales to the 65k 1-degree
+grid where no dense factorisation or full spectrum fits.
+
+Accuracy model: a Ritz pair retained by a clip (rank r << k, block size
+l = k + oversample) converges like (lambda_l / lambda_r)^(2 n_iter + 1);
+for the decaying spectra of spatial covariances the clip resynthesis is
+exact to roundoff at the defaults (pinned by tests against full LAPACK
+at n=2048 and against an analytic 16,384-point implicit operator).
+Large-magnitude NEGATIVE eigenvalues, if present, enter the captured
+subspace (the iteration converges in |lambda|) but are sorted to the
+bottom of the Ritz values and excluded from the returned top-k — they
+only consume subspace width.
+"""
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _as_matvec(operator, n: int | None):
+    """Normalise (dense | callable) to (matvec, n)."""
+    if callable(operator):
+        if n is None:
+            raise ValueError("n is required for a callable operator")
+        return operator, n
+    A = jnp.asarray(operator)
+    if A.ndim != 2 or A.shape[0] != A.shape[1]:
+        raise ValueError(f"operator must be square, got {A.shape}")
+    if n is not None and n != A.shape[0]:
+        raise ValueError(f"n={n} does not match operator shape {A.shape}")
+    return (lambda X: A @ X), int(A.shape[0])
+
+
+def topk_eigh(
+    operator,
+    k: int,
+    n: int | None = None,
+    *,
+    key=None,
+    oversample: int = 8,
+    n_iter: int = 6,
+    dtype=None,
+) -> tuple[np.ndarray, jax.Array]:
+    """Top-k (algebraically largest) eigenpairs of a symmetric operator.
+
+    Parameters
+    ----------
+    operator : (n, n) array or callable
+        Symmetric matrix, or a matvec closure mapping an (n, b) block to
+        ``A @ block`` (e.g. ``ops.sampling.kernel_matvec``).
+    k : int
+        Number of eigenpairs to return.
+    n : int, optional
+        Operator dimension (required for callables).
+    key : jax PRNG key, optional
+        Seed for the random test block (default: ``jax.random.key(0)`` —
+        the result is deterministic by default, like LAPACK).
+    oversample : int
+        Extra subspace width p; the k-th pair's accuracy is governed by
+        the gap to lambda_{k+p}.
+    n_iter : int
+        Power (subspace) iterations; each sharpens convergence by
+        (lambda_{k+p}/lambda_k)^2.
+    dtype : optional
+        Dtype of the random block (default: f64 when x64 is enabled on a
+        CPU backend, else f32).
+
+    Returns
+    -------
+    (eigvals, eigvecs)
+        ``eigvals``: (k,) numpy array, DESCENDING. ``eigvecs``: (n, k)
+        device array of matching Ritz vectors (orthonormal).
+    """
+    matvec, n = _as_matvec(operator, n)
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    k = min(k, n)
+    if key is None:
+        key = jax.random.key(0)
+    if dtype is None:
+        dtype = jnp.asarray(0.0).dtype
+
+    width = min(n, k + oversample)
+    if width >= n:  # subspace is the whole space: just be exact
+        A = jnp.asarray(matvec(jnp.eye(n, dtype=dtype)))
+        w, V = np.linalg.eigh(np.asarray(A))
+        order = np.argsort(w)[::-1][:k]
+        return w[order], jnp.asarray(V[:, order.copy()])
+
+    Y = jnp.asarray(matvec(jax.random.normal(key, (n, width), dtype)))
+    for _ in range(n_iter):
+        Q, _ = jnp.linalg.qr(Y)
+        Y = jnp.asarray(matvec(Q))
+    Q, _ = jnp.linalg.qr(Y)
+    B = jnp.asarray(matvec(Q))
+    T = Q.T @ B
+    T = 0.5 * (T + T.T)
+    # (width, width) projection: tiny — host LAPACK, not TPU Jacobi
+    theta, U = np.linalg.eigh(np.asarray(T))
+    order = np.argsort(theta)[::-1][:k]
+    eigvecs = Q @ jnp.asarray(U[:, order.copy()])
+    return theta[order], eigvecs
+
+
+def topk_from_callable(
+    kernel_matvec: Callable,
+    n: int,
+    k: int,
+    **kwargs,
+) -> tuple[np.ndarray, jax.Array]:
+    """Convenience alias of :func:`topk_eigh` for streamed operators."""
+    return topk_eigh(kernel_matvec, k, n, **kwargs)
