@@ -6,13 +6,14 @@ from .kriging import (
     sharded_ordinary_kriging,
 )
 from .kernel_kriging import sharded_kriging_from_kernel
-from .linalg import sharded_cholesky
+from .linalg import sharded_cholesky, sharded_triangular_solve
 from .ellipse import sharded_ellipse_covariance, sharded_state_draws
 
 __all__ = [
     "ensemble_kriging_step",
     "make_mesh",
     "sharded_cholesky",
+    "sharded_triangular_solve",
     "sharded_ellipse_covariance",
     "sharded_state_draws",
     "sharded_kriging_from_kernel",

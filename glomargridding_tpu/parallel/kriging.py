@@ -16,6 +16,7 @@ the matmul contracts locally and XLA inserts the reduce-scatter it needs.
 from functools import partial
 
 import jax
+from jax import shard_map
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -74,12 +75,17 @@ def ensemble_kriging_step(
     idx,
     obs,
     n_members: int,
+    n_blocks: int | None = None,
 ):
     """Full stochastic-kriging ensemble step, sharded over (grid, ens).
 
-    One replicated factorisation of K = C_obs + E; per-member perturbation
-    draws and their simple-kriged fields are batched over the ``ens`` axis
-    while every grid-sized array stays sharded over ``grid``. Returns
+    The M x M grid covariance stays ROW-SHARDED end to end: it is
+    factorised by the distributed blocked Cholesky
+    (``parallel.linalg.make_sharded_cholesky`` — no device ever holds the
+    full matrix or the full factor, peak per-device memory ~ M^2/n_dev),
+    and state draws apply the sharded factor locally (each device
+    computes its row slice of L @ z, members sharded over ``ens``). Only
+    the small observation system K = C_obs + E is replicated. Returns
     (members (n_members, M), field (M,), uncert2 (M,)). Both `covariance`
     and `error_cov` must be symmetric positive-definite (their Cholesky
     factors drive the draws).
@@ -87,31 +93,61 @@ def ensemble_kriging_step(
     This is the framework's "training step" analog — the full production
     computation for one month of a HadCRUT-style ensemble.
     """
+    from .linalg import _resolve_blocks, make_sharded_cholesky
+
+    if n_members % mesh.shape["ens"] != 0:
+        raise ValueError(
+            f"n_members={n_members} must be divisible by the ens axis "
+            f"size {mesh.shape['ens']}"
+        )
     sh = _shardings(mesh)
-    cov = jax.device_put(jnp.asarray(covariance), sh["cov_rows"])
-    E = jax.device_put(jnp.asarray(error_cov, cov.dtype), sh["repl"])
+    m = covariance.shape[0]
+    n_grid = mesh.shape["grid"]
+    n_blocks = _resolve_blocks(m, n_grid, n_blocks)
+    nb = m // n_blocks
+
+    cov_blocks = jax.device_put(
+        jnp.asarray(covariance).reshape(n_blocks, nb, m),
+        NamedSharding(mesh, P("grid")),
+    )
+    E = jax.device_put(jnp.asarray(error_cov, cov_blocks.dtype), sh["repl"])
     idx = jax.device_put(jnp.asarray(idx), sh["repl"])
-    y = jax.device_put(jnp.asarray(obs, cov.dtype), sh["repl"])
+    y = jax.device_put(jnp.asarray(obs, cov_blocks.dtype), sh["repl"])
+
+    chol = make_sharded_cholesky(mesh, m, n_blocks, axis="grid")
+
+    # sharded draws: rows of L stay local; z is replicated over grid and
+    # sharded over ens, so each device's matmul is its (rows, m) x
+    # (m, members_local) slice — no collectives in the draw at all.
+    def _local_draws(L_rows, z):
+        return L_rows.reshape(-1, m) @ z  # (rows_local, members_local)
+
+    draws = shard_map(
+        _local_draws,
+        mesh=mesh,
+        in_specs=(P("grid"), P(None, "ens")),
+        out_specs=P("grid", "ens"),
+    )
 
     @partial(
         jax.jit,
         static_argnames=("n_members",),
         out_shardings=(sh["members"], sh["grid_vec"], sh["grid_vec"]),
     )
-    def step(cov, E, idx, y, key, n_members):
-        m = cov.shape[0]
+    def step(cov_blocks, E, idx, y, key, n_members):
         n = idx.shape[0]
+        cov = cov_blocks.reshape(m, m)
         K = cov[idx[:, None], idx[None, :]] + E
         C_cross = cov[idx, :]
         C_diag = jnp.diagonal(cov)
         field, uncert2, _, V, _, _ = _ordinary_core(K, C_cross, C_diag, y)
 
-        # state draws: factor the full grid covariance once
-        L = jnp.linalg.cholesky(cov)
+        # distributed factor of the full grid covariance (row-sharded)
+        L_blocks = chol(cov_blocks)
         LE = jnp.linalg.cholesky(E)
         k_state, k_obs = jax.random.split(key)
-        z = jax.random.normal(k_state, (n_members, m), cov.dtype)
-        states = z @ L.T  # (members, M) — contracts over grid locally
+        z = jax.random.normal(k_state, (m, n_members), cov.dtype)
+        states = draws(L_blocks, z).T  # (members, M)
         zo = jax.random.normal(k_obs, (n_members, n), cov.dtype)
         obs_noise = zo @ LE.T
         sim_obs = states[:, idx] + obs_noise  # (members, n)
@@ -119,4 +155,4 @@ def ensemble_kriging_step(
         members = field[None, :] + (sim_grid - states)
         return members, field, uncert2
 
-    return step(cov, E, idx, y, key, n_members)
+    return step(cov_blocks, E, idx, y, key, n_members)

@@ -167,6 +167,39 @@ def test_sharded_cholesky_block_count_validation(rng):
         sharded_cholesky(mesh, A, n_blocks=7)
 
 
+def test_sharded_triangular_solve_matches_lapack(rng):
+    """Distributed forward substitution: apply a row-sharded factor
+    without gathering it; parity vs scipy-style dense solve."""
+    import jax.scipy.linalg as jsl
+
+    from glomargridding_tpu.parallel.linalg import (
+        sharded_cholesky,
+        sharded_triangular_solve,
+    )
+
+    n, k = 192, 5
+    A = rng.normal(size=(n, n))
+    spd = A @ A.T + n * np.eye(n)
+    mesh = make_mesh(n_grid=8, n_ens=1)
+    L = sharded_cholesky(mesh, spd, n_blocks=24)
+
+    B = rng.normal(size=(n, k))
+    X = np.asarray(sharded_triangular_solve(mesh, L, B, n_blocks=24))
+    ref = np.asarray(
+        jsl.solve_triangular(np.asarray(L), B, lower=True)
+    )
+    np.testing.assert_allclose(X, ref, rtol=1e-8, atol=1e-10)
+
+    # 1-d RHS round-trips shape; full solve inverts the factorisation
+    b = rng.normal(size=n)
+    x = np.asarray(sharded_triangular_solve(mesh, L, b, n_blocks=24))
+    assert x.shape == (n,)
+    y = np.asarray(
+        jsl.solve_triangular(np.asarray(L).T, x, lower=False)
+    )
+    np.testing.assert_allclose(spd @ y, b, rtol=1e-6, atol=1e-8)
+
+
 def test_sharded_ellipse_covariance_and_draws(rng):
     """Full multi-chip non-stationary pipeline on the CPU mesh:
     row-sharded PS06 assembly == single-device builder; distributed
