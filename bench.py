@@ -7,8 +7,22 @@ C_cross from the Matern kernel — the dense M x M grid covariance is never
 materialised), Cholesky factorisation, bordered ordinary-kriging solve,
 uncertainty + constraint-mask diagonals.
 
+Everything timed here goes through the SHIPPED public API — no inline
+re-implementation:
+
+- kriging:   ``ops.variogram.MaternVariogram`` ->
+             ``models.kernel_kriging.variogram_kernel`` ->
+             ``models.kernel_kriging.kriging_from_kernel``
+- draws/sec: ``models.kernel_kriging.ensemble_from_kernel``
+             (100-member observation-perturbation ensemble, BASELINE
+             config 5's draws metric)
+- Pallas:    ``models.ellipse.covariance.build_ellipse_covariance``
+             with use_pallas=True vs False at n=16384 — compiled-mode
+             parity and speedup in the same JSON line (TPU only).
+
 Prints ONE JSON line:
-  {"metric": ..., "value": seconds, "unit": "s", "vs_baseline": speedup}
+  {"metric": ..., "value": seconds, "unit": "s", "vs_baseline": speedup,
+   "draws_per_sec": ..., "ensemble_s": ..., "pallas_ellipse_16k": {...}}
 vs_baseline is (10 s north-star target) / measured, so > 1 beats the
 target.
 """
@@ -18,166 +32,205 @@ import time
 
 import numpy as np
 
+M_LAT, M_LON = 180, 360
+TIMING_ITERS = 5
 
-def build_benchmark(m_lat=180, m_lon=360, n_obs=5000, n_members=100):
-    import jax
+
+def timeit(run, checksum):
+    """Median-free amortised timing with an HONEST device sync.
+
+    On the remote-tunnel ("axon") backend ``jax.block_until_ready`` can
+    return before the computation finishes (measured: block 1.4 ms,
+    first host fetch 3.4 s). The only reliable barrier is a host fetch,
+    so: run TIMING_ITERS dispatches back-to-back, then force a scalar
+    fetch from the LAST result — the queue drains in order, so the
+    elapsed time covers every iteration and the ~30 ms fetch overhead is
+    amortised to <1% per iteration.
+    """
+    res = run()
+    checksum(res)  # warm-up: compile + drain
+    t0 = time.perf_counter()
+    for _ in range(TIMING_ITERS):
+        res = run()
+    checksum(res)
+    return (time.perf_counter() - t0) / TIMING_ITERS
+
+
+N_OBS = 5000
+N_MEMBERS = 100
+PSILL = 1.2
+RANGE_KM = 1200.0
+
+
+def build_inputs():
     import jax.numpy as jnp
-    import jax.scipy.linalg as jsl
 
     dtype = jnp.float32
-
-    lat = jnp.arange(-89.5, 90.0, 180.0 / m_lat, dtype=dtype)
-    lon = jnp.arange(-179.5, 180.0, 360.0 / m_lon, dtype=dtype)
-    glat = jnp.repeat(lat, m_lon)
-    glon = jnp.tile(lon, m_lat)
+    lat = jnp.arange(-89.5, 90.0, 180.0 / M_LAT, dtype=dtype)
+    lon = jnp.arange(-179.5, 180.0, 360.0 / M_LON, dtype=dtype)
+    glat = jnp.repeat(lat, M_LON)  # degrees, as the public API takes
+    glon = jnp.tile(lon, M_LAT)
     m = glat.shape[0]
 
     rng = np.random.default_rng(0)
     idx = jnp.asarray(
-        np.sort(rng.choice(m, size=n_obs, replace=False)).astype(np.int32)
+        np.sort(rng.choice(m, size=N_OBS, replace=False)).astype(np.int32)
     )
-    y = jnp.asarray(rng.normal(size=n_obs).astype(np.float32))
-    err_diag = jnp.asarray(
-        (0.1 + 0.05 * rng.random(n_obs)).astype(np.float32)
+    y = jnp.asarray(rng.normal(size=N_OBS).astype(np.float32))
+    err_cov = jnp.diag(
+        jnp.asarray((0.1 + 0.05 * rng.random(N_OBS)).astype(np.float32))
+    )
+    return glat, glon, idx, y, err_cov
+
+
+def bench_kriging():
+    """Kriging wall-time through the public kernel-functional API."""
+    from glomargridding_tpu.models.kernel_kriging import (
+        kriging_from_kernel,
+        variogram_kernel,
+    )
+    from glomargridding_tpu.ops.variogram import MaternVariogram
+
+    glat, glon, idx, y, err_cov = build_inputs()
+    # Matern nu=0.5 sklearn convention == exponential: the HadSST4
+    # kriging default, corr = exp(-d/range).
+    kernel = variogram_kernel(
+        MaternVariogram(psill=PSILL, range=RANGE_KM, nu=0.5),
+        distance="haversine",
     )
 
-    # Matern nu=0.5 (exponential; the HadSST4 kriging default), sklearn
-    # convention: corr = exp(-sqrt(2*0.5) d / range) = exp(-d/range).
-    psill = dtype(1.2)
-    rng_km = dtype(1200.0)
-    earth = dtype(2.0 * 6371.0)
-
-    def kernel_block(la1, lo1, la2, lo2):
-        """Covariance tile from coordinates (radians)."""
-        a = (
-            jnp.sin((la1[:, None] - la2[None, :]) / 2.0) ** 2
-            + jnp.cos(la1[:, None])
-            * jnp.cos(la2[None, :])
-            * jnp.sin((lo1[:, None] - lo2[None, :]) / 2.0) ** 2
-        )
-        d = earth * jnp.arcsin(jnp.sqrt(jnp.clip(a, 0.0, 1.0)))
-        return psill * jnp.exp(-d / rng_km)
-
-    la = jnp.radians(glat)
-    lo = jnp.radians(glon)
-
-    # Grid columns are processed in blocks under lax.scan: each step
-    # builds its C_cross tile straight from the kernel, triangular-solves
-    # it, and reduces its slice of the diagonals — the full n x M cross
-    # matrix (and XLA's 20+ GB of triangular-solve temps for 64.8k RHS)
-    # never exists.
-    n_blocks = 16
-    block = m // n_blocks
-    la_b = la.reshape(n_blocks, block)
-    lo_b = lo.reshape(n_blocks, block)
-
-    @jax.jit
-    def kriging_step(la_b, lo_b, idx, y, err_diag):
-        la_o = la_b.reshape(-1)[idx]
-        lo_o = lo_b.reshape(-1)[idx]
-        K = kernel_block(la_o, lo_o, la_o, lo_o) + jnp.diag(err_diag)
-
-        # One n x n Cholesky; per block only ONE triangular solve with B
-        # RHS is needed: field and colsum ride precomputed n-vectors
-        # (w = K^{-1}y, u = K^{-1}1), and diag(Cc' K^{-1} Cc) = column
-        # norms of L^{-1} Cc. Halves the M-RHS triangular work vs a
-        # cho_solve per block.
-        L = jnp.linalg.cholesky(K)
-        factor = (L, True)
-        ones = jnp.ones((idx.shape[0],), la_b.dtype)
-        u = jsl.cho_solve(factor, ones)
-        w = jsl.cho_solve(factor, y)
-        s = jnp.sum(u)
-        uy = u @ y
-
-        def per_block(_, inputs):
-            la_blk, lo_blk = inputs
-            Cc = kernel_block(la_o, lo_o, la_blk, lo_blk)  # (n, B)
-            t = u @ Cc
-            lam = (t - 1.0) / s
-            field = w @ Cc - lam * uy
-            U = jsl.solve_triangular(L, Cc, lower=True)
-            sv = jnp.einsum("nb,nb->b", U, U)
-            wc = sv - lam * t
-            uncert2 = psill - (wc + lam) - lam
-            cmask = sv / psill
-            return None, (field, uncert2, cmask)
-
-        _, (field, uncert2, cmask) = jax.lax.scan(
-            per_block, None, (la_b, lo_b)
-        )
-        return (
-            field.reshape(-1),
-            uncert2.reshape(-1),
-            cmask.reshape(-1),
+    def run():
+        return kriging_from_kernel(
+            kernel, glat, glon, idx, y,
+            error_cov=err_cov, variance=PSILL,
+            method="ordinary", n_blocks=16,
         )
 
-    # draws/sec: vmapped L@z perturbation ensemble from the obs system,
-    # blocked over grid columns like the solve.
-    @jax.jit
-    def ensemble_step(la_b, lo_b, idx, y, err_diag, key):
-        la_o = la_b.reshape(-1)[idx]
-        lo_o = lo_b.reshape(-1)[idx]
-        K = kernel_block(la_o, lo_o, la_o, lo_o) + jnp.diag(err_diag)
-        L_obs = jnp.linalg.cholesky(K)
-        z = jax.random.normal(
-            key, (n_members, idx.shape[0]), la_b.dtype
+    def checksum(res):
+        return float(res.field.sum()) + float(res.uncertainty.sum())
+
+    return timeit(run, checksum)
+
+
+def bench_ensemble():
+    """draws/sec through the public ensemble_from_kernel API."""
+    import jax
+
+    from glomargridding_tpu.models.kernel_kriging import (
+        ensemble_from_kernel,
+        variogram_kernel,
+    )
+    from glomargridding_tpu.ops.variogram import MaternVariogram
+
+    glat, glon, idx, y, err_cov = build_inputs()
+    kernel = variogram_kernel(
+        MaternVariogram(psill=PSILL, range=RANGE_KM, nu=0.5),
+        distance="haversine",
+    )
+    key = jax.random.key(0)
+
+    def run():
+        return ensemble_from_kernel(
+            kernel, glat, glon, idx, y, err_cov, key,
+            n_members=N_MEMBERS, n_blocks=16,
         )
-        sim_obs = z @ L_obs.T  # (members, n)
-        # Solve once against the (n, members) RHS; each block is then a
-        # pure MXU matmul S @ Cc — no M-RHS triangular solves at all.
-        S = jsl.cho_solve((L_obs, True), sim_obs.T).T  # (members, n)
 
-        def per_block(_, inputs):
-            la_blk, lo_blk = inputs
-            Cc = kernel_block(la_o, lo_o, la_blk, lo_blk)
-            return None, S @ Cc  # (members, B)
+    def checksum(out):
+        field, members = out
+        return float(field.sum()) + float(members[-1].sum())
 
-        _, blocks = jax.lax.scan(per_block, None, (la_b, lo_b))
-        # (n_blocks, members, B) -> (members, M)
-        return jnp.transpose(blocks, (1, 0, 2)).reshape(n_members, -1)
+    return timeit(run, checksum)
 
-    return kriging_step, ensemble_step, (la_b, lo_b, idx, y, err_diag)
+
+def bench_pallas_ellipse(n=16384):
+    """Compiled Pallas vs XLA non-stationary assembly at device scale.
+
+    Times ``build_ellipse_covariance`` (the shipped assembly entry
+    point) with use_pallas True vs False on identical inputs and
+    records parity + speedup. TPU only: on other backends Pallas falls
+    back to interpret mode, which measures nothing real.
+    """
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return {"skipped": f"backend={jax.default_backend()}"}
+
+    import jax.numpy as jnp
+
+    from glomargridding_tpu.models.ellipse.covariance import (
+        build_ellipse_covariance,
+    )
+    from glomargridding_tpu.ops.distances import sigma_rot_flat
+
+    rng = np.random.default_rng(1)
+    lats = jnp.radians(
+        jnp.asarray(rng.uniform(-60.0, 60.0, n).astype(np.float32))
+    )
+    lons = jnp.radians(
+        jnp.asarray(rng.uniform(-180.0, 180.0, n).astype(np.float32))
+    )
+    Lx = jnp.asarray(rng.uniform(800.0, 1600.0, n).astype(np.float32))
+    Ly = jnp.asarray(rng.uniform(400.0, 900.0, n).astype(np.float32))
+    theta = jnp.asarray(rng.uniform(-0.6, 0.6, n).astype(np.float32))
+    stdev = jnp.asarray(rng.uniform(0.5, 1.5, n).astype(np.float32))
+    s00, s01, _, s11 = sigma_rot_flat(Lx, Ly, theta)
+    sig_flat = jnp.stack([s00, s01, s11], axis=-1)
+    sqrt_dets = jnp.sqrt(s00 * s11 - s01 * s01)
+
+    def checksum(cov):
+        return float(jnp.sum(cov[0]))
+
+    out = {}
+    covs = {}
+    for name, flag in (("pallas", True), ("xla", False)):
+        def build(use_pallas=flag):
+            return build_ellipse_covariance(
+                lats, lons, sig_flat, sqrt_dets, stdev,
+                v=1.5, use_pallas=use_pallas, row_block=n,
+            )
+
+        out[f"{name}_s"] = round(timeit(build, checksum), 4)
+        covs[name] = build(flag)
+    err = float(jnp.max(jnp.abs(covs["pallas"] - covs["xla"])))
+    scale = float(jnp.max(jnp.abs(covs["xla"])))
+    out["n"] = n
+    out["max_abs_err"] = round(err, 8)
+    out["rel_err"] = round(err / scale, 8)
+    out["speedup"] = round(out["xla_s"] / out["pallas_s"], 2)
+    return out
 
 
 def _run_once():
-    import jax
-
-    kriging_step, ensemble_step, args = build_benchmark()
-
-    # warm-up (compile)
-    out = kriging_step(*args)
-    jax.block_until_ready(out)
-
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        out = kriging_step(*args)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
-    return min(times)
+    kriging_s = bench_kriging()
+    ensemble_s = bench_ensemble()
+    pallas = bench_pallas_ellipse()
+    return kriging_s, ensemble_s, pallas
 
 
 def main():
     # The remote-device link can fault transiently; one retry protects
     # the recorded metric.
     try:
-        value = _run_once()
+        kriging_s, ensemble_s, pallas = _run_once()
     except Exception:
         time.sleep(20)
-        value = _run_once()
+        kriging_s, ensemble_s, pallas = _run_once()
 
     baseline_target_s = 10.0
     print(
         json.dumps(
             {
                 "metric": (
-                    "kriging wall-time, 64.8k grid / 5k obs "
+                    "kriging wall-time, 64.8k grid / 5k obs, public API "
                     "(cov build + Cholesky + solve + uncertainty)"
                 ),
-                "value": round(value, 4),
+                "value": round(kriging_s, 4),
                 "unit": "s",
-                "vs_baseline": round(baseline_target_s / value, 2),
+                "vs_baseline": round(baseline_target_s / kriging_s, 2),
+                "ensemble_s": round(ensemble_s, 4),
+                "ensemble_members": N_MEMBERS,
+                "draws_per_sec": round(N_MEMBERS / ensemble_s, 1),
+                "pallas_ellipse_16k": pallas,
             }
         )
     )

@@ -147,8 +147,10 @@ def build_ellipse_covariance(
     Adds diag(stdev^2) at the end. Memory high-water is
     row_block x N per launch. With ``use_pallas`` (default "auto": on
     when running on a TPU backend and v is half-integer, v <= 3.5) the
-    whole assembly runs as one fused Pallas tile kernel (~9x the XLA
-    path at n=4k on v5e).
+    whole assembly runs as one fused Pallas tile kernel (measured on
+    v5e with an honest device sync: 2.2x the XLA path at n=4k, 1.1x at
+    n=16k where both approach the VPU transcendental roofline;
+    ``bench.py`` records the check every run).
     """
     if use_pallas == "auto":
         import jax as _jax
