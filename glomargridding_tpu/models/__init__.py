@@ -23,8 +23,18 @@ from .kernel_kriging import (
     pad_month_observations,
     variogram_kernel,
 )
+from .lowrank import (
+    LowRankKrigingResult,
+    lowrank_ensemble_step,
+    lowrank_kriging,
+    lowrank_members_from_states,
+)
 
 __all__ = [
+    "LowRankKrigingResult",
+    "lowrank_ensemble_step",
+    "lowrank_kriging",
+    "lowrank_members_from_states",
     "ensemble_from_kernel",
     "kriging_from_kernel",
     "months_scan_kriging",

@@ -1,0 +1,224 @@
+r"""Kriging and stochastic ensembles on a factored (low-rank) covariance.
+
+The device-scale PSD repair (``ops.covariance_tools.explained_variance_
+clip_lowrank`` / ``laloux_clip_lowrank``) returns the clipped covariance
+in factored form
+
+.. math::  C = \mathrm{diag}(f) + V \, \mathrm{diag}(g) \, V^T
+
+(``LowRankPSD``): the retained eigenspace keeps its spectrum, everything
+orthogonal gets the uniform floor. This module closes the loop: ordinary
+kriging, its uncertainty/constraint-mask diagnostics, and the two-stage
+perturbation ensemble all evaluated straight off the factors — nothing
+n x n is ever formed, so the non-stationary 1-degree pipeline (ellipse
+MLE -> Pallas assembly -> low-rank clip -> kriging -> members) runs at
+65k where the reference's dense path (`stochastic.py:291-349`, explicit
+N^3 inverse + dense MVN draws) cannot allocate.
+
+Key identities (m observed of n grid points, r = retained rank):
+
+- obs block      K   = V_o g V_o' + diag(f_o) + E            (m x m)
+- cross block    C_x[i, j] = V_o[i] g V[j]' + f_j [idx_i = j] (m x n)
+- any C_x' z is one (r,)-bottleneck matmul plus a scatter-add,
+- diag(C_x' K^{-1} C_x) reduces to an (r x r) Gram form plus exact
+  corrections at the m observed columns,
+
+so the full solve + diagnostics cost O(m^3 + n r (r + members)) flops
+and O(n (r + members)) memory.
+
+Capability analog of reference ``stochastic.py`` at scales it cannot
+reach; algebra cross-checked against the dense path in
+``tests/test_lowrank.py``.
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+
+from ..ops.covariance_tools import LowRankPSD
+
+
+class LowRankKrigingResult(NamedTuple):
+    """Ordinary-kriged field + diagnostics from a factored covariance."""
+
+    field: jax.Array
+    uncertainty: jax.Array
+    constraint_mask: jax.Array
+
+
+def _cross_t_apply(V, g, f, idx, z):
+    """C_cross' @ z for z of shape (m,) or (m, b); C never formed.
+
+    C_cross[i, j] = V[idx_i] g V[j]' + f_j [idx_i == j], so
+    C_cross' z = V (g (V_o' z)) + scatter_add(idx, f_o * z).
+    """
+    V_o = V[idx]
+    f_o = f[idx]
+    if z.ndim == 1:
+        out = V @ (g * (V_o.T @ z))
+        return out.at[idx].add(f_o * z)
+    out = V @ (g[:, None] * (V_o.T @ z))
+    return out.at[idx].add(f_o[:, None] * z)
+
+
+@partial(jax.jit, static_argnames=("n_members",))
+def _lowrank_solve(V, g, f, E, idx, y, key, n_members: int):
+    """One fused dispatch: factorise K, field, diagnostics, members.
+
+    n_members = 0 skips the ensemble entirely (XLA drops the dead
+    branches: states, noise factor, member solves).
+    """
+    dtype = V.dtype
+    m = idx.shape[0]
+    V_o = V[idx]
+    f_o = f[idx]
+    K = (V_o * g[None, :]) @ V_o.T + jnp.diag(f_o) + E
+    L = jnp.linalg.cholesky(K)
+    factor = (L, True)
+
+    ones = jnp.ones((m,), dtype)
+    u = jsl.cho_solve(factor, ones)
+    w = jsl.cho_solve(factor, y)
+    s = jnp.sum(u)
+    uy = u @ y
+
+    # field / colsum diagnostics through the factored cross block
+    t = _cross_t_apply(V, g, f, idx, u)  # (n,) colsums of K^{-1}C_x
+    cw = _cross_t_apply(V, g, f, idx, w)
+    lam = (t - 1.0) / s
+    field = cw - lam * uy
+
+    # diag(C_x' K^{-1} C_x) = ||L^{-1} C_x[:, j]||^2 column by column:
+    # L^{-1}C_x[:, j] = B (g V_j) + f_j T[:, pos(j)] with B = L^{-1}V_o
+    # and T = L^{-1}. The first term is the (r x r) Gram form; the
+    # second exists only at the m observed columns.
+    B = jsl.solve_triangular(L, V_o, lower=True)  # (m, r)
+    M = (g[:, None] * (B.T @ B)) * g[None, :]  # (r, r)
+    sv = jnp.sum((V @ M) * V, axis=1)  # (n,)
+    T = jsl.solve_triangular(L, jnp.eye(m, dtype=dtype), lower=True)
+    # cross term 2 f_j (T e_i)'(B g V_j) and pure term f_j^2 ||T e_i||^2
+    P = jnp.sum((T.T @ B) * (V_o * g[None, :]), axis=1)  # (m,)
+    sv = sv.at[idx].add(2.0 * f_o * P + f_o**2 * jnp.sum(T**2, axis=0))
+
+    diag = f + jnp.sum(V**2 * g[None, :], axis=1)
+    wc = sv - lam * t
+    uncert2 = diag - (wc + lam) - lam
+    cmask = sv / diag
+
+    if n_members == 0:
+        members = jnp.zeros((0, V.shape[0]), dtype)
+        return field, uncert2, cmask, members
+
+    # two-stage ensemble: exact factored-state draws + obs perturbation
+    k_state, k_obs = jax.random.split(key)
+    k1, k2 = jax.random.split(k_state)
+    z1 = jax.random.normal(k1, (V.shape[0], n_members), dtype)
+    z2 = jax.random.normal(k2, (g.shape[0], n_members), dtype)
+    states = jnp.sqrt(f)[:, None] * z1 + V @ (
+        jnp.sqrt(g)[:, None] * z2
+    )  # (n, members)
+    LE = jnp.linalg.cholesky(E)
+    eps = LE @ jax.random.normal(k_obs, (m, n_members), dtype)
+    sim_obs = states[idx] + eps  # (m, members)
+    A = jsl.cho_solve(factor, sim_obs)  # (m, members)
+    grid_sim = _cross_t_apply(V, g, f, idx, A)  # (n, members)
+    members = field[None, :] + (grid_sim - states).T
+    return field, uncert2, cmask, members
+
+
+def lowrank_kriging(
+    psd: LowRankPSD, idx, obs, error_cov
+) -> LowRankKrigingResult:
+    """Ordinary kriging against a factored (clipped) covariance.
+
+    `psd` is the ``LowRankPSD`` from a `_lowrank` clip; `idx` the grid
+    indices of the m observed cells; `error_cov` the dense (m, m)
+    observation-error covariance. Field, uncertainty and constraint mask
+    are EXACT for the factored covariance (cross-checked against the
+    dense solver in tests); cost O(m^3 + n r^2), memory O(n r).
+    """
+    y = jnp.asarray(obs, psd.vectors.dtype)
+    E = jnp.asarray(error_cov, psd.vectors.dtype)
+    field, uncert2, cmask, _ = _lowrank_solve(
+        psd.vectors,
+        psd.gains,
+        psd.floor,
+        E,
+        jnp.asarray(idx),
+        y,
+        jax.random.key(0),
+        0,
+    )
+    return LowRankKrigingResult(
+        field, jnp.sqrt(jnp.clip(uncert2, 0.0)), cmask
+    )
+
+
+def lowrank_ensemble_step(
+    psd: LowRankPSD,
+    idx,
+    obs,
+    error_cov,
+    key,
+    n_members: int = 100,
+):
+    """Two-stage perturbation ensemble on the factored covariance.
+
+    Stage 1 draws exact N(0, C) states straight from the factors
+    (O(n(r + members)), no Cholesky of C); stage 2 simple-kriges each
+    state's simulated observations (+ correlated obs noise) back and
+    forms ``member = field + grid_sim - state`` (same convention as
+    ``models.stochastic.batched_ensemble_step``; reference scheme
+    `stochastic.py:291-349`). Everything — factorisation, field,
+    diagnostics, all members — is ONE compiled dispatch.
+
+    Returns (result, members): a ``LowRankKrigingResult`` and the
+    (n_members, n) member stack.
+    """
+    y = jnp.asarray(obs, psd.vectors.dtype)
+    E = jnp.asarray(error_cov, psd.vectors.dtype)
+    field, uncert2, cmask, members = _lowrank_solve(
+        psd.vectors,
+        psd.gains,
+        psd.floor,
+        E,
+        jnp.asarray(idx),
+        y,
+        key,
+        int(n_members),
+    )
+    res = LowRankKrigingResult(
+        field, jnp.sqrt(jnp.clip(uncert2, 0.0)), cmask
+    )
+    return res, members
+
+
+def lowrank_members_from_states(
+    psd: LowRankPSD, idx, obs, error_cov, states, eps
+):
+    """Deterministic member update for PRE-DRAWN states and obs noise.
+
+    `states` (n_members, n), `eps` (n_members, m): the test seam — feed
+    fixed draws and the output must equal the dense two-stage update
+    ``field + W'(state[idx] + eps) - state`` with W the simple-kriging
+    weights of the densified covariance.
+    """
+    dtype = psd.vectors.dtype
+    V, g, f = psd.vectors, psd.gains, psd.floor
+    idx = jnp.asarray(idx)
+    y = jnp.asarray(obs, dtype)
+    E = jnp.asarray(error_cov, dtype)
+    field, _, _, _ = _lowrank_solve(
+        V, g, f, E, idx, y, jax.random.key(0), 0
+    )
+    V_o = V[idx]
+    f_o = f[idx]
+    K = (V_o * g[None, :]) @ V_o.T + jnp.diag(f_o) + E
+    L = jnp.linalg.cholesky(K)
+    sim_obs = jnp.asarray(states, dtype)[:, idx] + jnp.asarray(eps, dtype)
+    A = jsl.cho_solve((L, True), sim_obs.T)  # (m, members)
+    grid_sim = _cross_t_apply(V, g, f, idx, A)  # (n, members)
+    return field[None, :] + (grid_sim - jnp.asarray(states, dtype).T).T

@@ -1,0 +1,155 @@
+"""Low-rank (factored-covariance) kriging + ensemble vs the dense path.
+
+The ``models.lowrank`` solvers never materialise the n x n covariance;
+these tests densify the same ``LowRankPSD`` and check every output —
+field, uncertainty, constraint mask, deterministic member updates —
+against the shipping dense ``OrdinaryKriging`` solver and an independent
+numpy implementation of the two-stage perturbation update.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from glomargridding_tpu.models.kriging import OrdinaryKriging
+from glomargridding_tpu.models.lowrank import (
+    lowrank_ensemble_step,
+    lowrank_kriging,
+    lowrank_members_from_states,
+)
+from glomargridding_tpu.ops.covariance_tools import (
+    LowRankPSD,
+    explained_variance_clip_lowrank,
+)
+
+N, R, M = 240, 12, 40
+
+
+def _make_psd(rng, n=N, r=R, uniform_floor=False):
+    A = rng.normal(size=(n, n))
+    Q, _ = np.linalg.qr(A)
+    V = jnp.asarray(Q[:, :r])
+    g = jnp.asarray(np.sort(rng.uniform(0.5, 4.0, r))[::-1].copy())
+    if uniform_floor:
+        f = jnp.full((n,), 0.07)
+    else:
+        f = jnp.asarray(rng.uniform(0.02, 0.3, n))
+    return LowRankPSD(vectors=V, gains=g, floor=f)
+
+
+def _obs_setup(rng, n=N, m=M):
+    idx = np.sort(rng.choice(n, size=m, replace=False))
+    y = rng.normal(size=m)
+    B = rng.normal(size=(m, m))
+    E = B @ B.T / m + 0.05 * np.eye(m)
+    return idx, y, E
+
+
+def test_lowrank_kriging_matches_dense(rng):
+    psd = _make_psd(rng)
+    idx, y, E = _obs_setup(rng)
+    dense = np.asarray(psd.to_dense())
+
+    res = lowrank_kriging(psd, idx, y, E)
+
+    err_full = np.full((N, N), np.nan)
+    err_full[np.ix_(idx, idx)] = E
+    OK = OrdinaryKriging(dense, idx=idx, obs=y, error_cov=err_full)
+    np.testing.assert_allclose(res.field, OK.solve(), rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(
+        res.uncertainty, OK.get_uncertainty(), rtol=1e-8, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        res.constraint_mask, OK.constraint_mask(), rtol=1e-8, atol=1e-10
+    )
+
+
+def test_lowrank_kriging_uniform_floor(rng):
+    """The exact form the clips produce: uniform floor, orthonormal V."""
+    psd = _make_psd(rng, uniform_floor=True)
+    idx, y, E = _obs_setup(rng)
+    dense = np.asarray(psd.to_dense())
+    res = lowrank_kriging(psd, idx, y, E)
+
+    err_full = np.full((N, N), np.nan)
+    err_full[np.ix_(idx, idx)] = E
+    OK = OrdinaryKriging(dense, idx=idx, obs=y, error_cov=err_full)
+    np.testing.assert_allclose(res.field, OK.solve(), rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(
+        res.uncertainty, OK.get_uncertainty(), rtol=1e-8, atol=1e-10
+    )
+
+
+def test_members_from_states_matches_dense_two_stage(rng):
+    """Deterministic member update == field + W'(state[idx]+eps) - state."""
+    psd = _make_psd(rng)
+    idx, y, E = _obs_setup(rng)
+    dense = np.asarray(psd.to_dense())
+    n_members = 7
+    states = rng.normal(size=(n_members, N))
+    eps = rng.normal(size=(n_members, M))
+
+    got = lowrank_members_from_states(psd, idx, y, E, states, eps)
+
+    K = dense[np.ix_(idx, idx)] + E
+    C_cross = dense[idx, :]  # (m, n)
+    W = np.linalg.solve(K, C_cross)  # (m, n) simple weights
+    # ordinary field
+    K_ext = np.block(
+        [[K, np.ones((M, 1))], [np.ones((1, M)), np.zeros((1, 1))]]
+    )
+    C_ext = np.concatenate([C_cross, np.ones((1, N))], axis=0)
+    field = (np.linalg.solve(K_ext, C_ext).T @ np.append(y, 0.0)).ravel()
+    sim_obs = states[:, idx] + eps
+    expected = field[None, :] + (sim_obs @ W - states)
+    np.testing.assert_allclose(got, expected, rtol=1e-8, atol=1e-9)
+
+
+def test_ensemble_step_statistics(rng):
+    """Random path: mean of members ~ field, spread ~ uncertainty."""
+    psd = _make_psd(rng, uniform_floor=True)
+    idx, y, E = _obs_setup(rng)
+    n_members = 4000
+    res, members = lowrank_ensemble_step(
+        psd, idx, y, E, jax.random.key(7), n_members=n_members
+    )
+    assert members.shape == (n_members, N)
+    assert np.all(np.isfinite(members))
+    dev = np.asarray(members) - np.asarray(res.field)[None, :]
+    # per-point sample std vs the SIMPLE-kriging posterior sd: the
+    # two-stage perturbation eps = W'(state[idx]+noise) - state has
+    # covariance C - C_x' K^{-1} C_x exactly (densified here).
+    dense = np.asarray(psd.to_dense())
+    K = dense[np.ix_(idx, idx)] + E
+    C_cross = dense[idx, :]
+    post = np.diag(dense) - np.einsum(
+        "mn,mn->n", C_cross, np.linalg.solve(K, C_cross)
+    )
+    u = np.sqrt(np.maximum(post, 0.0))
+    sd = dev.std(axis=0)
+    ratio = sd[u > 1e-3] / u[u > 1e-3]
+    assert abs(np.mean(ratio) - 1.0) < 0.05
+    assert np.mean(dev, axis=0) == pytest.approx(0.0, abs=0.15)
+
+
+def test_pipeline_clip_to_ensemble(rng):
+    """End-to-end: dense non-PSD-ish covariance -> low-rank clip ->
+    kriging matches the dense solver on the densified clip."""
+    n = 300
+    A = rng.normal(size=(n, 6))
+    C = A @ A.T + 0.2 * np.eye(n)
+    psd = explained_variance_clip_lowrank(
+        jnp.asarray(C), target_variance_fraction=0.9, key=jax.random.key(0)
+    )
+    idx, y, E = _obs_setup(rng, n=n, m=30)
+    res = lowrank_kriging(psd, idx, y, E)
+
+    dense = np.asarray(psd.to_dense())
+    err_full = np.full((n, n), np.nan)
+    err_full[np.ix_(idx, idx)] = E
+    OK = OrdinaryKriging(dense, idx=idx, obs=y, error_cov=err_full)
+    np.testing.assert_allclose(res.field, OK.solve(), rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(
+        res.uncertainty, OK.get_uncertainty(), rtol=1e-6, atol=1e-8
+    )
