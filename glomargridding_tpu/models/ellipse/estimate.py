@@ -16,9 +16,11 @@ for TPU:
 """
 
 import math
+from functools import partial
 from typing import Any
 from warnings import warn
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -29,6 +31,22 @@ from ...ops.optim import batched_lbfgs, batched_nelder_mead
 from ...types import DeltaXMethod
 from ...utils.arrays import cov_2_cor, uncompress_masked
 from .model import EllipseModel
+
+
+@jax.jit
+def _correlation_from_centred(x):
+    """(n, n) correlation from centred (T, n) samples, one dispatch.
+
+    Normalising the samples FIRST means the correlation needs a single
+    n x n buffer (no dense covariance is ever formed), and the exact
+    unit diagonal fuses into the same program.
+    """
+    var = jnp.einsum("tn,tn->n", x, x)
+    inv_s = jnp.where(var > 0, 1.0 / jnp.sqrt(var), 0.0)
+    xn = x * inv_s[None, :]
+    cor = xn.T @ xn
+    ii = jnp.arange(cor.shape[0])
+    return cor.at[ii, ii].set(1.0)
 
 
 class EllipseBuilder:
@@ -115,16 +133,52 @@ class EllipseBuilder:
 
         cov = X'X/(T-1) with the temporal mean removed, over unmasked
         points only (parity: reference ``estimate.py:151-180``).
+
+        Memory/transfer design: only the CORRELATION is materialised
+        (directly, from variance-normalised samples — one matmul), it
+        stays DEVICE-resident (at 1-degree scale it is ~8 GB; a host
+        round-trip through the remote tunnel would dominate the whole
+        build, and holding cov AND cor exceeds one chip's HBM), and
+        ``cov`` is a lazy property recomputed from the retained (T, n)
+        centred samples on access. numpy consumers go through
+        ``__array__`` transparently.
         """
         flat = self.data.reshape((self.time_n, self.big_covar_size))
         kept = np.ma.getdata(flat)[:, ~self.mask_1D]
         x = jnp.asarray(kept)
         x = x - jnp.mean(x, axis=0, keepdims=True)
-        cov = (x.T @ x) / (self.time_n - 1)
+        self._x_centered = x
+        self._rounding = rounding
         if rounding is not None:
-            cov = jnp.round(cov, rounding)
-        self.cov = np.asarray(cov)
-        self.cor = np.asarray(cov_2_cor(cov, rounding=rounding))
+            # rare parity path (reference rounds cov before normalising)
+            self.cor = cov_2_cor(
+                jnp.round(self._cov_matrix(), rounding), rounding=rounding
+            )
+            return
+        # one fused dispatch: under jit the unit-diagonal write updates
+        # the matmul result IN PLACE — eager .at[].set would allocate a
+        # second n x n buffer (2 x 7.9 GB transient at 1 degree = OOM)
+        self.cor = _correlation_from_centred(x)
+
+    def _cov_matrix(self):
+        x = self._x_centered
+        cov = (x.T @ x) / (self.time_n - 1)
+        if getattr(self, "_rounding", None) is not None:
+            cov = jnp.round(cov, self._rounding)
+        return cov
+
+    @property
+    def cov(self):
+        """Empirical covariance (lazy: rebuilt from the centred samples
+        on access — one matmul — so the n x n array is not pinned in
+        memory alongside ``cor``)."""
+        return self._cov_matrix()
+
+    @property
+    def cov_diagonal(self):
+        """diag of the empirical covariance without forming it."""
+        x = self._x_centered
+        return jnp.einsum("tn,tn->n", x, x) / (self.time_n - 1)
 
     # -- training data (parity helper; batched path builds masks inline) ----
     def _train_geometry(
@@ -215,7 +269,7 @@ class EllipseBuilder:
             physical_distance_selection,
         )
         sel = np.asarray(w[0]) > 0
-        y = self.cor[xy_point, :][sel]
+        y = np.asarray(self.cor[xy_point, :])[sel]
         X0 = np.asarray(X[0])
         return (X0[sel, :] if anisotropic else X0[sel]), y
 
@@ -245,7 +299,9 @@ class EllipseBuilder:
         reference ``estimate.py:187-400``).
         """
         R2 = uncompress_masked(
-            self.cor[xy_point, :], self.mask_1D, fill_value=np.nan
+            np.asarray(self.cor[xy_point, :]),
+            self.mask_1D,
+            fill_value=np.nan,
         ).reshape(self.xy_shape)
 
         X_train, y_train = self._get_train_data(
@@ -286,7 +342,7 @@ class EllipseBuilder:
         else:
             fit_success = 9
 
-        std_dev = float(np.sqrt(self.cov[xy_point, xy_point]))
+        std_dev = float(np.sqrt(self.cov_diagonal[xy_point]))
         model_params.append(std_dev)
         model_params.append(fit_success)
         model_params.append(int(results.nit))
@@ -340,6 +396,7 @@ class EllipseBuilder:
         n_sim: int = 500,
         physical_distance_selection: bool = True,
         chunk_size: int = 1024,
+        max_train_cols: int | None = None,
     ) -> Dataset:
         """Fit ellipses at ALL unmasked grid points — batched on device.
 
@@ -362,6 +419,16 @@ class EllipseBuilder:
         configuration NM is faster (4.1s vs 15.9s): the vmapped
         linesearch synchronises across the batch, so L-BFGS's value here
         is gradients/Hessian SEs rather than throughput.
+
+        `max_train_cols` caps the training correlations per fit to the
+        K nearest in-window grid points (static-shape top-k gather).
+        Whole-grid cost scales as n_points x n_cols, so at 1-degree
+        scale (~40k x ~40k) the unrestricted fit is ~170x the 5-degree
+        one; K = 4096 keeps every fit's window out to ~3500 km while
+        cutting the NLL work ~10x. When the distance window holds fewer
+        than K points this equals the unrestricted fit (up to float
+        reassociation from the gather's column reorder — pinned by
+        test); None (default) = reference semantics, all columns.
         """
         if opt_method not in ("Nelder-Mead", "L-BFGS-B", "L-BFGS", "lbfgs"):
             raise ValueError(
@@ -416,6 +483,13 @@ class EllipseBuilder:
                 physical_distance_selection,
             )
             y = cor_dev[sel_dev, :]
+            if (
+                max_train_cols is not None
+                and max_train_cols < y.shape[1]
+            ):
+                X, y, w = _nearest_train_cols(
+                    X, y, w, max_train_cols, matern_ellipse.anisotropic
+                )
             x0 = jnp.broadcast_to(x0_single, (len(sel), d))
 
             if use_lbfgs:
@@ -475,7 +549,7 @@ class EllipseBuilder:
         vals = np.column_stack(
             [
                 pm,
-                np.sqrt(np.diagonal(self.cov)[:n_points]),
+                np.sqrt(np.asarray(self.cov_diagonal)[:n_points]),
                 score.astype(float),
                 nits.astype(float),
             ]
@@ -510,6 +584,31 @@ class EllipseBuilder:
 
     def __str__(self) -> str:
         return str(self.__class__)
+
+
+@partial(jax.jit, static_argnames=("k", "anisotropic"))
+def _nearest_train_cols(X, y, w, k: int, anisotropic: bool):
+    """Gather each centre's k nearest IN-WINDOW training columns.
+
+    Out-of-window columns (w == 0) sort to the back (+inf distance); if
+    a window holds fewer than k points the excess gathered columns keep
+    w = 0 and never enter the weighted NLL, so whenever k covers the
+    window the fit equals the unrestricted one (up to float
+    reassociation from the column reorder).
+    """
+    if anisotropic:
+        d2 = X[..., 0] ** 2 + X[..., 1] ** 2
+    else:
+        d2 = X * X
+    d2 = jnp.where(w > 0, d2, jnp.inf)
+    _, cols = jax.lax.top_k(-d2, k)  # (B, k)
+    if anisotropic:
+        X = jnp.take_along_axis(X, cols[..., None], axis=1)
+    else:
+        X = jnp.take_along_axis(X, cols, axis=1)
+    y = jnp.take_along_axis(y, cols, axis=1)
+    w = jnp.take_along_axis(w, cols, axis=1)
+    return X, y, w
 
 
 def _get_fit_score(model_params, bounds, niter) -> int:

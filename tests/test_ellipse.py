@@ -596,3 +596,182 @@ def test_vectorised_postprocess_matches_scalar_semantics(rng):
         )
         if qc[gj, gi] != 9:
             assert qc[gj, gi] == expected, (gj, gi)
+
+
+def test_compute_params_max_train_cols_exact_when_window_covered():
+    """K >= in-window column count => bit-identical to unrestricted fit."""
+    rng = np.random.default_rng(1234)
+    size = (6, 9)
+    n_pts = size[0] * size[1]
+    n_t = 400
+    true_cov = _initialise_covariance(
+        Lx=900.0, Ly=600.0, theta=0.4, stdev=1.0, v=0.5, size=size
+    )
+    data = rng.multivariate_normal(
+        np.zeros(n_pts), true_cov, size=n_t
+    ).reshape((n_t, *size))
+    coords = Coordinates(
+        {
+            "time": np.arange(n_t),
+            "longitude": np.arange(size[1], dtype=np.float32),
+            "latitude": np.arange(size[0], dtype=np.float32),
+        }
+    )
+    ellipse = EllipseModel(
+        anisotropic=True,
+        rotated=True,
+        physical_distance=True,
+        v=0.5,
+        unit_sigma=True,
+    )
+    kwargs = dict(
+        default_value=[0.0] * ellipse.supercategory_n_params,
+        matern_ellipse=ellipse,
+        bounds=[
+            (300.0, 30000.0),
+            (300.0, 30000.0),
+            (-2.0 * np.pi, 2.0 * np.pi),
+        ],
+        guesses=[500.0, 500.0, 0.0],
+        max_distance=10_000.0,
+        delta_x_method="Modified_Met_Office",
+    )
+    full = EllipseBuilder(data, coords).compute_params(**kwargs)
+    # window = everything but self => n_pts - 1 in-window columns;
+    # K = n_pts - 1 < n_pts triggers the top-k gather yet must cover
+    # every window exactly
+    capped = EllipseBuilder(data, coords).compute_params(
+        **kwargs, max_train_cols=n_pts - 1
+    )
+    # the gather reorders columns, so weighted-NLL summation order
+    # changes: equality up to float reassociation, not bitwise
+    np.testing.assert_array_equal(
+        full["qc_code"].values, capped["qc_code"].values
+    )
+    for name in ("Lx", "Ly", "theta"):
+        np.testing.assert_allclose(
+            full[name].values,
+            capped[name].values,
+            rtol=1e-5,
+            atol=1e-6,
+            err_msg=name,
+        )
+
+    # a genuinely restrictive K still produces valid, converged fits
+    small = EllipseBuilder(data, coords).compute_params(
+        **kwargs, max_train_cols=30
+    )
+    qc = small["qc_code"].values
+    assert set(np.unique(qc)).issubset({0.0, 1.0, 2.0, 3.0, 9.0})
+    assert (small["Lx"].values > 0).mean() > 0.9
+
+
+def test_ellipse_covariance_operator_matches_dense(rng):
+    """Streamed and bf16 matvec forms vs the dense assembly."""
+    from glomargridding_tpu.models.ellipse.covariance import (
+        build_ellipse_covariance,
+        ellipse_covariance_operator,
+    )
+    from glomargridding_tpu.ops.distances import sigma_rot_flat
+    import jax.numpy as jnp
+
+    n = 300
+    lats = jnp.radians(jnp.asarray(rng.uniform(-60, 60, n), jnp.float32))
+    lons = jnp.radians(jnp.asarray(rng.uniform(-180, 180, n), jnp.float32))
+    Lx = jnp.asarray(rng.uniform(800, 1600, n), jnp.float32)
+    Ly = jnp.asarray(rng.uniform(400, 900, n), jnp.float32)
+    th = jnp.asarray(rng.uniform(-0.6, 0.6, n), jnp.float32)
+    sd = jnp.asarray(rng.uniform(0.5, 1.5, n), jnp.float32)
+    s00, s01, _, s11 = sigma_rot_flat(Lx, Ly, th)
+    sig = jnp.stack([s00, s01, s11], axis=-1)
+    sqd = jnp.sqrt(s00 * s11 - s01 * s01)
+
+    dense = np.asarray(
+        build_ellipse_covariance(
+            lats, lons, sig, sqd, sd, v=1.5, use_pallas=False
+        ),
+        dtype=np.float64,
+    )
+    X = rng.normal(size=(n, 7)).astype(np.float32)
+
+    mv, n_out, trace = ellipse_covariance_operator(
+        lats, lons, sig, sqd, sd, v=1.5, store="stream", n_blocks=7
+    )
+    assert n_out == n
+    assert trace == pytest.approx(float(np.trace(dense)), rel=1e-5)
+    got = np.asarray(mv(jnp.asarray(X)))
+    np.testing.assert_allclose(got, dense @ X, rtol=2e-4, atol=2e-4)
+    # 1-d input path
+    got1 = np.asarray(mv(jnp.asarray(X[:, 0])))
+    np.testing.assert_allclose(got1, dense @ X[:, 0], rtol=2e-4, atol=2e-4)
+
+    mv16, _, trace16 = ellipse_covariance_operator(
+        lats, lons, sig, sqd, sd, v=1.5, store="bf16", n_blocks=7
+    )
+    assert trace16 == pytest.approx(trace, rel=1e-6)
+    got16 = np.asarray(mv16(jnp.asarray(X)))
+    scale = np.abs(dense @ X).max()
+    assert np.abs(got16 - dense @ X).max() / scale < 2e-2
+
+
+def test_operator_clip_to_lowrank_ensemble(rng):
+    """65k-style flow at toy size: operator -> clip -> kriging, vs the
+    same clip run on the dense matrix."""
+    import jax
+    import jax.numpy as jnp
+
+    from glomargridding_tpu.models.ellipse.covariance import (
+        build_ellipse_covariance,
+        ellipse_covariance_operator,
+    )
+    from glomargridding_tpu.models.lowrank import lowrank_kriging
+    from glomargridding_tpu.ops.covariance_tools import (
+        explained_variance_clip_lowrank,
+    )
+    from glomargridding_tpu.ops.distances import sigma_rot_flat
+
+    n = 400
+    lats = jnp.radians(
+        jnp.asarray(np.linspace(-60, 60, n), jnp.float32)
+    )
+    lons = jnp.radians(
+        jnp.asarray(np.linspace(-170, 170, n), jnp.float32)
+    )
+    Lx = jnp.full((n,), 3000.0, jnp.float32)
+    Ly = jnp.full((n,), 2000.0, jnp.float32)
+    th = jnp.zeros((n,), jnp.float32)
+    sd = jnp.ones((n,), jnp.float32)
+    s00, s01, _, s11 = sigma_rot_flat(Lx, Ly, th)
+    sig = jnp.stack([s00, s01, s11], axis=-1)
+    sqd = jnp.sqrt(s00 * s11 - s01 * s01)
+
+    mv, n_out, trace = ellipse_covariance_operator(
+        lats, lons, sig, sqd, sd, v=1.5, store="stream", n_blocks=8
+    )
+    psd_op = explained_variance_clip_lowrank(
+        mv, n=n_out, trace=trace,
+        target_variance_fraction=0.9, key=jax.random.key(0),
+        k0=64, max_rank=256,
+    )
+    dense = build_ellipse_covariance(
+        lats, lons, sig, sqd, sd, v=1.5, use_pallas=False
+    )
+    psd_dense = explained_variance_clip_lowrank(
+        dense, target_variance_fraction=0.9, key=jax.random.key(0),
+        k0=64, max_rank=256,
+    )
+    assert psd_op.rank == psd_dense.rank
+    np.testing.assert_allclose(
+        np.sort(np.asarray(psd_op.gains)),
+        np.sort(np.asarray(psd_dense.gains)),
+        rtol=1e-3, atol=1e-5,
+    )
+
+    idx = np.sort(rng.choice(n, 60, replace=False))
+    y = rng.normal(size=60)
+    E = 0.05 * np.eye(60)
+    r_op = lowrank_kriging(psd_op, idx, y, E)
+    r_dense = lowrank_kriging(psd_dense, idx, y, E)
+    np.testing.assert_allclose(
+        r_op.field, r_dense.field, rtol=1e-4, atol=1e-5
+    )
