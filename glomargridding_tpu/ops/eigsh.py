@@ -31,7 +31,45 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import jax.scipy.linalg as jsl
 import numpy as np
+
+
+@jax.jit
+def _cholqr_once(Y):
+    """One Cholesky-QR pass: Q = Y R^{-1} with R = chol(Y'Y)'.
+
+    All the work is MXU matmuls plus one (l, l) factorisation — on TPU
+    this is several times faster than Householder QR of a tall-skinny
+    block. Returns (Q, ok): ok=False when Y'Y is numerically singular
+    (Cholesky produced NaN) and the caller must fall back.
+    """
+    G = Y.T @ Y
+    # small diagonal lift: keeps chol alive when Y is nearly rank-
+    # deficient; the second pass removes the resulting non-orthogonality
+    eps = jnp.asarray(1e-6 if Y.dtype == jnp.float32 else 1e-12, Y.dtype)
+    G = G + (eps * jnp.trace(G) / G.shape[0]) * jnp.eye(
+        G.shape[0], dtype=Y.dtype
+    )
+    L = jnp.linalg.cholesky(G)
+    Q = jsl.solve_triangular(L, Y.T, lower=True).T
+    ok = jnp.isfinite(L[-1, -1])
+    return Q, ok
+
+
+def _orthonormalise(Y):
+    """Orthonormal basis of range(Y): CholQR2 with Householder fallback.
+
+    Two Cholesky-QR passes give orthogonality to ~machine precision for
+    condition numbers up to ~1/sqrt(eps) (Yamamoto et al. 2015) — ample
+    for subspace iteration, where Y is a covariance image of a random
+    block. The one-shot fallback covers pathological inputs.
+    """
+    Q, ok1 = _cholqr_once(Y)
+    Q, ok2 = _cholqr_once(Q)
+    if bool(np.asarray(ok1)) and bool(np.asarray(ok2)):
+        return Q
+    return jnp.linalg.qr(Y)[0]
 
 
 def _as_matvec(operator, n: int | None):
@@ -106,9 +144,8 @@ def topk_eigh(
 
     Y = jnp.asarray(matvec(jax.random.normal(key, (n, width), dtype)))
     for _ in range(n_iter):
-        Q, _ = jnp.linalg.qr(Y)
-        Y = jnp.asarray(matvec(Q))
-    Q, _ = jnp.linalg.qr(Y)
+        Y = jnp.asarray(matvec(_orthonormalise(Y)))
+    Q = _orthonormalise(Y)
     B = jnp.asarray(matvec(Q))
     T = Q.T @ B
     T = 0.5 * (T + T.T)
