@@ -34,19 +34,30 @@ from .model import EllipseModel
 
 
 @jax.jit
-def _correlation_from_centred(x):
-    """(n, n) correlation from centred (T, n) samples, one dispatch.
-
-    Normalising the samples FIRST means the correlation needs a single
-    n x n buffer (no dense covariance is ever formed), and the exact
-    unit diagonal fuses into the same program.
-    """
+def _cor_matmul(x):
     var = jnp.einsum("tn,tn->n", x, x)
     inv_s = jnp.where(var > 0, 1.0 / jnp.sqrt(var), 0.0)
     xn = x * inv_s[None, :]
-    cor = xn.T @ xn
+    return xn.T @ xn
+
+
+@partial(jax.jit, donate_argnums=0)
+def _set_unit_diag(cor):
     ii = jnp.arange(cor.shape[0])
     return cor.at[ii, ii].set(1.0)
+
+
+def _correlation_from_centred(x):
+    """(n, n) correlation from centred (T, n) samples.
+
+    Normalising the samples FIRST means the correlation needs a single
+    n x n buffer (no dense covariance is ever formed). The exact unit
+    diagonal is written by a separate jit with the input DONATED: left
+    inside one program, XLA did not alias the scatter and transiently
+    held 2 x n^2 (~15.8 GB at 1-degree scale = OOM); donation
+    guarantees the in-place update.
+    """
+    return _set_unit_diag(_cor_matmul(x))
 
 
 class EllipseBuilder:
