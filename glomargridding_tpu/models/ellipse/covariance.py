@@ -487,7 +487,13 @@ def ellipse_covariance_operator(
     diag = stdevs.astype(jnp.float32) ** 2
     trace = float(jnp.sum(diag))
 
+    # Round the block size UP to a lane-friendly multiple: an unaligned
+    # (e.g. odd) block dimension on the scan's stacked bf16 output sends
+    # the TPU compiler into a pathological layout path (measured: 268 s
+    # compile at block=2025 vs 1 s at block=2048, same total size).
     block = -(-n // n_blocks)
+    block = -(-block // 256) * 256
+    n_blocks = -(-n // block)
     pad = n_blocks * block - n
 
     def _pad(a):
@@ -500,12 +506,20 @@ def ellipse_covariance_operator(
         _pad(a).reshape((n_blocks, block) + a.shape[1:])
         for a in (lats_rad, lons_rad, sig_flat, sqrt_dets, stdevs)
     )
+    cols = (lats_rad, lons_rad, sig_flat, sqrt_dets, stdevs)
 
-    def _tile(inputs):
-        la_b, lo_b, sig_b, sd_b, st_b = inputs
+    # EVERY device array is an explicit jit ARGUMENT here, never a
+    # closure capture: captured concrete arrays are lowered as program
+    # constants, which (a) forces a device->host round trip per constant
+    # at trace time — ~40 s each over a remote-tunnel backend — and
+    # (b) at 65k embeds an 8.4 GB constant that exhausts HBM.
+
+    def _tile(row_inputs, cols):
+        la_b, lo_b, sig_b, sd_b, st_b = row_inputs
+        la, lo, sg, sd, st = cols
         return ellipse_covariance_block(
             la_b, lo_b, sig_b, sd_b, st_b,
-            lats_rad, lons_rad, sig_flat, sqrt_dets, stdevs,
+            la, lo, sg, sd, st,
             v=v,
             delta_x_method=delta_x_method,
             max_dist=md,
@@ -515,16 +529,17 @@ def ellipse_covariance_operator(
     if store == "stream":
 
         @jax.jit
-        def matvec(x):
-            x2 = x if x.ndim == 2 else x[:, None]
-            x2 = x2.astype(jnp.float32)
-
+        def _apply_stream(rows, cols, diag, x2):
             def per_block(_, inputs):
-                return None, _tile(inputs) @ x2
+                return None, _tile(inputs, cols) @ x2
 
             _, out = jax.lax.scan(per_block, None, rows)
             out = out.reshape(-1, x2.shape[1])[:n]
-            out = out + diag[:, None] * x2
+            return out + diag[:, None] * x2
+
+        def matvec(x):
+            x2 = x if x.ndim == 2 else x[:, None]
+            out = _apply_stream(rows, cols, diag, x2.astype(jnp.float32))
             return out if x.ndim == 2 else out[:, 0]
 
         return matvec, n, trace
@@ -533,24 +548,33 @@ def ellipse_covariance_operator(
         raise ValueError(f"Unknown store: {store!r}")
 
     @jax.jit
-    def _build():
+    def _build(rows, cols):
         def per_block(_, inputs):
-            return None, _tile(inputs).astype(jnp.bfloat16)
+            return None, _tile(inputs, cols).astype(jnp.bfloat16)
 
         _, A = jax.lax.scan(per_block, None, rows)
-        return A.reshape(-1, n)  # (n + pad, n); padded rows unused
+        # Deliberately kept (n_blocks, block, n): reshaping the stacked
+        # 8.5 GB store to 2-D can materialise a second copy (2x peak ->
+        # OOM at 65k); the matvec batches over the leading axis instead
+        # and reshapes only its small output.
+        return A
 
-    A = _build()
+    A = _build(rows, cols)
 
     @jax.jit
-    def matvec(x):
-        x2 = x if x.ndim == 2 else x[:, None]
-        y = jax.lax.dot(
+    def _apply(A, diag, x2):
+        y = jax.lax.dot_general(
             A,
             x2.astype(jnp.bfloat16),
+            (((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )[:n]
-        out = y + diag[:, None] * x2.astype(jnp.float32)
+        )  # (n_blocks, block, k)
+        y = y.reshape(-1, x2.shape[1])[:n]
+        return y + diag[:, None] * x2
+
+    def matvec(x):
+        x2 = x if x.ndim == 2 else x[:, None]
+        out = _apply(A, diag, x2.astype(jnp.float32))
         return out if x.ndim == 2 else out[:, 0]
 
     return matvec, n, trace

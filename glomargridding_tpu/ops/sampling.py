@@ -39,6 +39,33 @@ import jax.numpy as jnp
 import numpy as np
 
 
+class Matvec:
+    """A matvec as (static fn, array operands) instead of a closure.
+
+    Calling it is ``fn(*operands, v)``. The split matters under jit: a
+    plain closure traced inside a jitted function turns its captured
+    device arrays into program CONSTANTS — each one costs a device->host
+    pull at lowering (~40 s over a remote-tunnel backend) and a 65k
+    bf16 store embedded as an 8.4 GB literal exhausts HBM. Consumers
+    (``chebyshev_apply``, ``estimate_spectral_range``) detect this type
+    and pass ``operands`` through as ordinary jit arguments.
+    """
+
+    def __init__(self, fn, *operands):
+        self.fn = fn
+        self.operands = operands
+
+    def __call__(self, v):
+        return self.fn(*self.operands, v)
+
+
+def _split_matvec(matvec):
+    """(static_fn, operands) for a Matvec; passthrough for closures."""
+    if isinstance(matvec, Matvec):
+        return matvec.fn, matvec.operands
+    return matvec, ()
+
+
 def chebyshev_sqrt_coeffs(
     lam_min: float, lam_max: float, degree: int
 ) -> np.ndarray:
@@ -56,19 +83,25 @@ def chebyshev_sqrt_coeffs(
     return coeffs
 
 
-@partial(jax.jit, static_argnames=("matvec",))
 def chebyshev_apply(matvec, z, coeffs, lam_min, lam_max):
     """p(C) z via the Chebyshev recurrence; one matvec per degree.
 
-    `matvec` is a (traceable) function v -> C v operating on (M, k)
-    matrices; `coeffs` from ``chebyshev_sqrt_coeffs`` (or any function's
-    expansion).
+    `matvec` is a ``Matvec`` (preferred — its operands become jit
+    arguments) or a plain traceable closure v -> C v operating on (M, k)
+    matrices; `coeffs` from ``chebyshev_sqrt_coeffs`` (or any
+    function's expansion).
     """
+    fn, operands = _split_matvec(matvec)
+    return _chebyshev_apply(fn, operands, z, coeffs, lam_min, lam_max)
+
+
+@partial(jax.jit, static_argnames=("fn",))
+def _chebyshev_apply(fn, operands, z, coeffs, lam_min, lam_max):
     alpha = 2.0 / (lam_max - lam_min)
     beta = -(lam_max + lam_min) / (lam_max - lam_min)
 
     def a_tilde(v):
-        return alpha * matvec(v) + beta * v
+        return alpha * fn(*operands, v) + beta * v
 
     t0 = z
     t1 = a_tilde(z)
@@ -83,47 +116,65 @@ def chebyshev_apply(matvec, z, coeffs, lam_min, lam_max):
     return y
 
 
+@partial(jax.jit, static_argnames=("compute_dtype",), inline=True)
+def _dense_mv(cov, v, *, compute_dtype=jnp.float32):
+    return jnp.matmul(
+        cov, v.astype(cov.dtype), preferred_element_type=compute_dtype
+    ).astype(v.dtype)
+
+
 def dense_matvec(cov, compute_dtype=jnp.float32):
-    """Matvec closure over a dense (possibly bf16-stored) covariance.
+    """Matvec over a dense (possibly bf16-stored) covariance.
 
-    The matmul accumulates in `compute_dtype` regardless of storage
-    (``preferred_element_type``), so bf16 storage costs ~3 decimal digits
-    on the matrix entries but not on the accumulation.
+    Returns a ``Matvec`` so the matrix travels as a jit ARGUMENT when
+    consumers trace it (never a captured constant). The matmul
+    accumulates in `compute_dtype` regardless of storage
+    (``preferred_element_type``), so bf16 storage costs ~3 decimal
+    digits on the matrix entries but not on the accumulation.
     """
+    fn = _DENSE_MV_BY_DTYPE.setdefault(
+        jnp.dtype(compute_dtype).name,
+        partial(_dense_mv, compute_dtype=compute_dtype),
+    )
+    return Matvec(fn, cov)
 
-    def mv(v):
-        return jnp.matmul(
-            cov, v.astype(cov.dtype), preferred_element_type=compute_dtype
-        ).astype(v.dtype)
 
-    return mv
+_DENSE_MV_BY_DTYPE: dict = {}
+
+
+def _kernel_mv(kernel_fn, m, la_b, lo_b, lats_rad, lons_rad, v):
+    def per_block(_, inputs):
+        la_blk, lo_blk = inputs
+        tile = kernel_fn(la_blk, lo_blk, lats_rad, lons_rad)
+        return None, tile @ v
+
+    _, out = jax.lax.scan(per_block, None, (la_b, lo_b))
+    return out.reshape(out.shape[0] * out.shape[1], *out.shape[2:])[:m]
 
 
 def kernel_matvec(kernel_fn, lats_rad, lons_rad, n_blocks: int = 16):
     """Streamed matvec: covariance tiles rebuilt from the kernel per block.
 
-    y_block = kernel(block, :) @ v — no covariance storage at all. Cost is
-    one full kernel evaluation per matvec; prefer ``dense_matvec`` with
-    bf16 storage when the matrix fits.
+    y_block = kernel(block, :) @ v — no covariance storage at all. Cost
+    is one full kernel evaluation per matvec; prefer ``dense_matvec``
+    with bf16 storage when the matrix fits. `kernel_fn` should be a
+    stable (value-hashable or module-level) function: it becomes part
+    of the consumers' jit cache key.
     """
     m = lats_rad.shape[0]
+    # lane-aligned block size: unaligned scan-stacked outputs trigger a
+    # pathological TPU compile path (minutes instead of ~1 s)
     block = -(-m // n_blocks)
+    block = -(-block // 256) * 256
+    n_blocks = -(-m // block)
     pad = n_blocks * block - m
     la = jnp.concatenate([lats_rad, jnp.zeros((pad,), lats_rad.dtype)])
     lo = jnp.concatenate([lons_rad, jnp.zeros((pad,), lons_rad.dtype)])
     la_b = la.reshape(n_blocks, block)
     lo_b = lo.reshape(n_blocks, block)
-
-    def mv(v):
-        def per_block(_, inputs):
-            la_blk, lo_blk = inputs
-            tile = kernel_fn(la_blk, lo_blk, lats_rad, lons_rad)
-            return None, tile @ v
-
-        _, out = jax.lax.scan(per_block, None, (la_b, lo_b))
-        return out.reshape(n_blocks * block, *v.shape[1:])[:m]
-
-    return mv
+    return Matvec(
+        partial(_kernel_mv, kernel_fn, m), la_b, lo_b, lats_rad, lons_rad
+    )
 
 
 def estimate_spectral_range(
@@ -137,20 +188,22 @@ def estimate_spectral_range(
     known nugget.
     """
 
-    @partial(jax.jit, static_argnames=("matvec", "iters"))
-    def power(matvec, key, iters):
+    fn, operands = _split_matvec(matvec)
+
+    @partial(jax.jit, static_argnames=("fn", "iters"))
+    def power(fn, operands, key, iters):
         v = jax.random.normal(key, (n, 1), dtype)
         v = v / jnp.linalg.norm(v)
 
         def body(v, _):
-            w = matvec(v)
+            w = fn(*operands, v)
             lam = jnp.linalg.norm(w)
             return w / lam, lam
 
         _, lams = jax.lax.scan(body, v, None, length=iters)
         return lams[-1]
 
-    lam_max = float(power(matvec, key, iters)) * 1.05
+    lam_max = float(power(fn, operands, key, iters)) * 1.05
     return 1e-3 * lam_max, lam_max
 
 
