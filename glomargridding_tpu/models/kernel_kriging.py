@@ -118,7 +118,12 @@ def variogram_kernel(
 
 def _pad_blocks(arr, n_blocks):
     m = arr.shape[0]
+    # lane-aligned block size (multiple of 256): unaligned block dims on
+    # scan-carried shapes can push the TPU compiler into a pathological
+    # layout path (minutes instead of seconds)
     block = -(-m // n_blocks)
+    block = -(-block // 256) * 256
+    n_blocks = -(-m // block)
     pad = n_blocks * block - m
     if pad:
         arr = jnp.concatenate([arr, jnp.broadcast_to(arr[-1:], (pad,))])
