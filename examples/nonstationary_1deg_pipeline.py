@@ -182,7 +182,10 @@ def main(small=False):
     rel_trace = abs(psd.trace() - float(jnp.trace(cov))) / float(
         jnp.trace(cov)
     )
-    t0 = stage(f"low-rank clip (rank {psd.rank})", t0)
+    true_rank = psd.rank
+    # fixed rank multiple -> stable compiled shapes month over month
+    psd = psd.pad_rank(256)
+    t0 = stage(f"low-rank clip (rank {true_rank}->{psd.rank})", t0)
     print(f"    trace preserved to {rel_trace:.2e}")
     del cov, cov_builder  # the dense matrix is no longer needed
 

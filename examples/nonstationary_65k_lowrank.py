@@ -91,8 +91,13 @@ def main():
         key=jax.random.key(1),
         k0=2048, max_rank=4096, n_iter=4,
     )
+    true_rank = psd.rank
+    # pad to a fixed rank multiple: the adaptive clip returns a
+    # different rank per month, and each distinct rank would recompile
+    # the ensemble program; zero-gain columns are numerically inert
+    psd = psd.pad_rank(256)
     float(psd.vectors[0, 0])
-    t0 = stage(f"low-rank PSD repair (rank {psd.rank})", t0)
+    t0 = stage(f"low-rank PSD repair (rank {true_rank}->{psd.rank})", t0)
     print(
         f"    trace preserved to "
         f"{abs(psd.trace() - trace) / trace:.2e}"

@@ -29,6 +29,11 @@ and O(n (r + members)) memory.
 Capability analog of reference ``stochastic.py`` at scales it cannot
 reach; algebra cross-checked against the dense path in
 ``tests/test_lowrank.py``.
+
+Production note: the adaptive clips return a data-dependent rank, and
+every distinct rank is a fresh compiled program here — call
+``psd.pad_rank(256)`` (zero-gain columns, numerically inert) so monthly
+reruns share one compiled ensemble step.
 """
 
 from functools import partial
@@ -64,10 +69,12 @@ def _cross_t_apply(V, g, f, idx, z):
     return out.at[idx].add(f_o[:, None] * z)
 
 
-@partial(jax.jit, static_argnames=("n_members",))
-def _lowrank_solve(V, g, f, E, idx, y, key, n_members: int):
-    """One fused dispatch: factorise K, field, diagnostics, members.
+def _lowrank_solve_impl(V, g, f, E, idx, y, key, n_members: int):
+    """Factorise K, field, diagnostics, members — traceable core.
 
+    Jitted locally as ``_lowrank_solve``; ``parallel.lowrank`` re-jits
+    it with row-sharded V/f and (ens, grid)-sharded members (the
+    partitioner keeps every n-sized op local to its rows).
     n_members = 0 skips the ensemble entirely (XLA drops the dead
     branches: states, noise factor, member solves).
     """
@@ -127,6 +134,11 @@ def _lowrank_solve(V, g, f, E, idx, y, key, n_members: int):
     grid_sim = _cross_t_apply(V, g, f, idx, A)  # (n, members)
     members = field[None, :] + (grid_sim - states).T
     return field, uncert2, cmask, members
+
+
+_lowrank_solve = partial(jax.jit, static_argnames=("n_members",))(
+    _lowrank_solve_impl
+)
 
 
 def lowrank_kriging(

@@ -249,6 +249,28 @@ class LowRankPSD:
         )
         return x.T
 
+    def pad_rank(self, multiple: int = 128) -> "LowRankPSD":
+        """Pad the factors with zero-gain columns to a rank multiple.
+
+        Numerically inert (zero gains contribute nothing to W g W',
+        draws, or the solvers), but operationally important in
+        production: the adaptive clips return a DIFFERENT rank per
+        month, and every distinct rank is a fresh compiled program for
+        the downstream ensemble step. Padding to a fixed multiple keeps
+        the compiled shapes stable across months and lane-aligned on
+        the MXU.
+        """
+        if multiple < 1:
+            raise ValueError("multiple must be >= 1")
+        r = self.rank
+        r_pad = -(-r // multiple) * multiple
+        if r_pad == r:
+            return self
+        dt = self.vectors.dtype
+        vecs = jnp.pad(self.vectors, ((0, 0), (0, r_pad - r)))
+        gains = jnp.pad(self.gains.astype(dt), (0, r_pad - r))
+        return LowRankPSD(vectors=vecs, gains=gains, floor=self.floor)
+
 
 def _adaptive_topk(matvec, n, accept, k0, max_rank, **topk_kwargs):
     """Double k until `accept(w)` finds the needed leading pairs within

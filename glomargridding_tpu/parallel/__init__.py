@@ -8,10 +8,16 @@ from .kriging import (
 from .kernel_kriging import sharded_kriging_from_kernel
 from .linalg import sharded_cholesky, sharded_triangular_solve
 from .ellipse import sharded_ellipse_covariance, sharded_state_draws
+from .lowrank import (
+    sharded_lowrank_ensemble_step,
+    sharded_lowrank_kriging,
+)
 
 __all__ = [
     "ensemble_kriging_step",
     "make_mesh",
+    "sharded_lowrank_ensemble_step",
+    "sharded_lowrank_kriging",
     "sharded_cholesky",
     "sharded_triangular_solve",
     "sharded_ellipse_covariance",

@@ -153,3 +153,36 @@ def test_pipeline_clip_to_ensemble(rng):
     np.testing.assert_allclose(
         res.uncertainty, OK.get_uncertainty(), rtol=1e-6, atol=1e-8
     )
+
+
+def test_pad_rank_is_numerically_inert(rng):
+    """Zero-gain padding changes shapes only: kriging outputs, matvec,
+    diagonal and trace are identical; rank becomes the next multiple."""
+    psd = _make_psd(rng)
+    idx, y, E = _obs_setup(rng)
+    padded = psd.pad_rank(16)
+    assert padded.rank == 16 and psd.rank == R
+    assert padded.pad_rank(16) is padded  # already aligned: no-op
+
+    x = jnp.asarray(rng.normal(size=(N,)))
+    np.testing.assert_allclose(padded.matvec(x), psd.matvec(x), rtol=1e-12)
+    np.testing.assert_allclose(
+        padded.diagonal(), psd.diagonal(), rtol=1e-12
+    )
+    assert np.isclose(padded.trace(), psd.trace(), rtol=1e-12)
+
+    a = lowrank_kriging(psd, idx, y, E)
+    b = lowrank_kriging(padded, idx, y, E)
+    np.testing.assert_allclose(b.field, a.field, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(
+        b.uncertainty, a.uncertainty, rtol=1e-7, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        b.constraint_mask, a.constraint_mask, rtol=1e-9, atol=1e-12
+    )
+
+    states = rng.normal(size=(3, N))
+    eps = rng.normal(size=(3, M))
+    ma = lowrank_members_from_states(psd, idx, y, E, states, eps)
+    mb = lowrank_members_from_states(padded, idx, y, E, states, eps)
+    np.testing.assert_allclose(mb, ma, rtol=1e-8, atol=1e-10)

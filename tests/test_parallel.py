@@ -261,3 +261,64 @@ def test_sharded_ellipse_covariance_and_draws(rng):
     assert draws.shape == (20_000, n)
     sample_cov = np.cov(np.asarray(draws).T)
     assert np.abs(sample_cov - spd).max() < 0.15
+
+
+def test_sharded_lowrank_matches_single_device(rng):
+    """Row-sharded factored kriging + ensemble == the local path."""
+    import jax.numpy as jnp
+
+    from glomargridding_tpu.models.lowrank import (
+        lowrank_ensemble_step,
+        lowrank_kriging,
+    )
+    from glomargridding_tpu.ops.covariance_tools import LowRankPSD
+    from glomargridding_tpu.parallel import (
+        sharded_lowrank_ensemble_step,
+        sharded_lowrank_kriging,
+    )
+
+    n, r, m = 256, 16, 24
+    A = rng.normal(size=(n, n))
+    Q, _ = np.linalg.qr(A)
+    psd = LowRankPSD(
+        vectors=jnp.asarray(Q[:, :r], jnp.float32),
+        gains=jnp.asarray(
+            np.sort(rng.uniform(0.5, 4.0, r))[::-1].copy(), jnp.float32
+        ),
+        floor=jnp.asarray(rng.uniform(0.05, 0.3, n), jnp.float32),
+    )
+    idx = np.sort(rng.choice(n, size=m, replace=False))
+    y = rng.normal(size=m).astype(np.float32)
+    E = (0.05 * np.eye(m)).astype(np.float32)
+
+    mesh = make_mesh(n_grid=4, n_ens=2)
+    res_s = sharded_lowrank_kriging(mesh, psd, idx, y, E)
+    res_l = lowrank_kriging(psd, idx, y, E)
+    np.testing.assert_allclose(
+        np.asarray(res_s.field), np.asarray(res_l.field), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_s.uncertainty),
+        np.asarray(res_l.uncertainty),
+        atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_s.constraint_mask),
+        np.asarray(res_l.constraint_mask),
+        atol=1e-4,
+    )
+
+    key = jax.random.key(11)
+    res2, mem_s = sharded_lowrank_ensemble_step(
+        mesh, psd, idx, y, E, key, n_members=8
+    )
+    _, mem_l = lowrank_ensemble_step(psd, idx, y, E, key, n_members=8)
+    # keyed draws are sharding-invariant; only reduction order differs
+    np.testing.assert_allclose(
+        np.asarray(mem_s), np.asarray(mem_l), atol=1e-4
+    )
+    # members really live sharded over (ens, grid)
+    shapes = {s.data.shape for s in mem_s.addressable_shards}
+    assert shapes == {(4, 64)}, shapes
+    vec_shapes = {s.data.shape for s in res2.field.addressable_shards}
+    assert vec_shapes == {(64,)}, vec_shapes
