@@ -28,6 +28,7 @@ from .lowrank import (
     lowrank_ensemble_step,
     lowrank_kriging,
     lowrank_members_from_states,
+    lowrank_months_scan,
 )
 
 __all__ = [
@@ -35,6 +36,7 @@ __all__ = [
     "lowrank_ensemble_step",
     "lowrank_kriging",
     "lowrank_members_from_states",
+    "lowrank_months_scan",
     "ensemble_from_kernel",
     "kriging_from_kernel",
     "months_scan_kriging",

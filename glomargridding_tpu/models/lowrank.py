@@ -208,6 +208,63 @@ def lowrank_ensemble_step(
     return res, members
 
 
+@partial(jax.jit, static_argnames=("n_members",))
+def _lowrank_months_scan(V, g, f, idx_m, obs_m, err_m, key, n_members):
+    def one_month(carry, inputs):
+        idx, y, E, k = inputs
+        field, uncert2, cmask, members = _lowrank_solve_impl(
+            V, g, f, E, idx, y, k, n_members
+        )
+        return carry, (field, uncert2, cmask, members)
+
+    keys = jax.random.split(key, idx_m.shape[0])
+    _, out = jax.lax.scan(
+        one_month, None, (idx_m, obs_m, err_m, keys)
+    )
+    return out
+
+
+def lowrank_months_scan(
+    psd: LowRankPSD,
+    idx_months,
+    obs_months,
+    error_cov_months,
+    key=None,
+    n_members: int = 0,
+):
+    """Batch kriging (+ optional ensembles) over months, one program.
+
+    The non-stationary analog of
+    ``models.kernel_kriging.months_scan_kriging``: the factored clipped
+    covariance is fixed across months while observations change;
+    `idx_months` (T, m), `obs_months` (T, m), `error_cov_months`
+    (T, m, m) — pad ragged months with
+    ``models.kernel_kriging.pad_month_observations``. One ``lax.scan``
+    evaluates every month (field, uncertainty, constraint mask, and
+    `n_members` two-stage ensemble members each) in a single compiled
+    dispatch. Returns (results, members): a ``LowRankKrigingResult`` of
+    (T, n) stacks and the (T, n_members, n) member stack (empty when
+    n_members=0).
+    """
+    dtype = psd.vectors.dtype
+    if key is None:
+        key = jax.random.key(0)
+    field, uncert2, cmask, members = _lowrank_months_scan(
+        psd.vectors,
+        psd.gains,
+        psd.floor,
+        jnp.asarray(idx_months),
+        jnp.asarray(obs_months, dtype),
+        jnp.asarray(error_cov_months, dtype),
+        key,
+        int(n_members),
+    )
+    res = LowRankKrigingResult(
+        field, jnp.sqrt(jnp.clip(uncert2, 0.0)), cmask
+    )
+    return res, members
+
+
 def lowrank_members_from_states(
     psd: LowRankPSD, idx, obs, error_cov, states, eps
 ):

@@ -186,3 +186,42 @@ def test_pad_rank_is_numerically_inert(rng):
     ma = lowrank_members_from_states(psd, idx, y, E, states, eps)
     mb = lowrank_members_from_states(padded, idx, y, E, states, eps)
     np.testing.assert_allclose(mb, ma, rtol=1e-8, atol=1e-10)
+
+
+def test_months_scan_matches_per_month_calls(rng):
+    """One scanned program == independent per-month solves."""
+    from glomargridding_tpu.models.lowrank import lowrank_months_scan
+
+    psd = _make_psd(rng)
+    T = 3
+    idx_m = np.stack(
+        [np.sort(rng.choice(N, size=M, replace=False)) for _ in range(T)]
+    )
+    obs_m = rng.normal(size=(T, M))
+    err_m = np.stack([0.05 * np.eye(M) for _ in range(T)])
+
+    key = jax.random.key(5)
+    res, members = lowrank_months_scan(
+        psd, idx_m, obs_m, err_m, key=key, n_members=4
+    )
+    assert res.field.shape == (T, N)
+    assert members.shape == (T, 4, N)
+
+    keys = jax.random.split(key, T)
+    for t in range(T):
+        ref = lowrank_kriging(psd, idx_m[t], obs_m[t], err_m[t])
+        np.testing.assert_allclose(
+            np.asarray(res.field[t]), np.asarray(ref.field), rtol=1e-10
+        )
+        np.testing.assert_allclose(
+            np.asarray(res.uncertainty[t]),
+            np.asarray(ref.uncertainty),
+            rtol=1e-8,
+        )
+        _, mem_ref = lowrank_ensemble_step(
+            psd, idx_m[t], obs_m[t], err_m[t], keys[t], n_members=4
+        )
+        np.testing.assert_allclose(
+            np.asarray(members[t]), np.asarray(mem_ref), rtol=1e-8,
+            atol=1e-10,
+        )
