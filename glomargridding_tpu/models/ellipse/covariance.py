@@ -446,7 +446,7 @@ def ellipse_covariance_operator(
     v: float,
     delta_x_method: DeltaXMethod = "Modified_Met_Office",
     max_dist: float | None = None,
-    n_blocks: int = 16,
+    n_blocks: int | None = None,
     store: str = "bf16",
 ):
     """Matvec-form non-stationary covariance: ``cov @ X`` with no f32
@@ -491,8 +491,15 @@ def ellipse_covariance_operator(
     # (e.g. odd) block dimension on the scan's stacked bf16 output sends
     # the TPU compiler into a pathological layout path (measured: 268 s
     # compile at block=2025 vs 1 s at block=2048, same total size).
-    block = -(-n // n_blocks)
-    block = -(-block // 256) * 256
+    # Default block: ~256 MB of f32 tile per scan step regardless of n,
+    # so the build's working set stays flat as grids grow past 65k.
+    if n_blocks is None:
+        block = max(256, (1 << 26) // max(n, 1))
+        block = -(-block // 256) * 256
+        block = min(block, -(-n // 256) * 256)
+    else:
+        block = -(-n // n_blocks)
+        block = -(-block // 256) * 256
     n_blocks = -(-n // block)
     pad = n_blocks * block - n
 

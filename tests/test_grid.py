@@ -90,3 +90,27 @@ def test_grid_to_distance_matrix():
     # First off-diagonal neighbour at -87.5 latitude, 5 deg longitude apart
     assert abs(dist.values[0, 1] - 24.24359308) < 1e-4
     assert np.allclose(dist.values, dist.values.T, atol=1e-8)
+
+
+def test_distance_matrix_carries_crossed_coords():
+    """Parity pin for the documented deviation from the reference: the
+    crossed per-axis coordinates (reference grid.py:233-320 returns them
+    as non-dim xarray coordinates) ride in attrs['crossed_coords'] with
+    identical content."""
+    from glomargridding_tpu.grid import (
+        cross_coords,
+        grid_from_resolution,
+        grid_to_distance_matrix,
+    )
+
+    grid = grid_from_resolution(
+        30, [(-75, 90), (-165, 180)], ["lat", "lon"]
+    )
+    arr = grid_to_distance_matrix(grid, lat_coord="lat", lon_coord="lon")
+    crossed = arr.attrs["crossed_coords"]
+    expect = cross_coords(grid.coords, "lat", "lon")
+    for k in ("lat_1", "lon_1", "lat_2", "lon_2"):
+        np.testing.assert_array_equal(crossed[k], np.asarray(expect[k]))
+    n = len(grid.coords["lat"]) * len(grid.coords["lon"])
+    assert arr.values.shape == (n, n)
+    assert np.allclose(np.diag(arr.values), 0.0)

@@ -225,3 +225,32 @@ def test_months_scan_matches_per_month_calls(rng):
             np.asarray(members[t]), np.asarray(mem_ref), rtol=1e-8,
             atol=1e-10,
         )
+
+
+def test_months_scan_diagnostics_off(rng):
+    """diagnostics=False: identical fields/members, zeroed diagnostics."""
+    from glomargridding_tpu.models.lowrank import lowrank_months_scan
+
+    psd = _make_psd(rng)
+    T = 2
+    idx_m = np.stack(
+        [np.sort(rng.choice(N, size=M, replace=False)) for _ in range(T)]
+    )
+    obs_m = rng.normal(size=(T, M))
+    err_m = np.stack([0.05 * np.eye(M) for _ in range(T)])
+    key = jax.random.key(9)
+
+    full, mem_full = lowrank_months_scan(
+        psd, idx_m, obs_m, err_m, key=key, n_members=3
+    )
+    fast, mem_fast = lowrank_months_scan(
+        psd, idx_m, obs_m, err_m, key=key, n_members=3, diagnostics=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(fast.field), np.asarray(full.field), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(mem_fast), np.asarray(mem_full), rtol=1e-12
+    )
+    assert not np.any(np.asarray(fast.uncertainty))
+    assert not np.any(np.asarray(fast.constraint_mask))
