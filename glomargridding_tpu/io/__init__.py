@@ -1,7 +1,12 @@
 """I/O: h5py-backed netCDF4, format-string paths, config recursion."""
 
 from ..utils.frames import get_recurse
-from .covariance import load_covariance, save_covariance
+from .covariance import (
+    load_covariance,
+    load_lowrank,
+    save_covariance,
+    save_lowrank,
+)
 from .netcdf import (
     load_array,
     load_dataset,
@@ -15,8 +20,10 @@ __all__ = [
     "get_recurse",
     "load_array",
     "load_covariance",
+    "load_lowrank",
     "load_dataset",
     "open_dataset",
     "save_covariance",
+    "save_lowrank",
     "save_dataset",
 ]

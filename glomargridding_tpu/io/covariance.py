@@ -37,3 +37,47 @@ def save_covariance(
     )
     arr = DataArray(cov, coords, name=cov_var_name)
     save_dataset(Dataset({cov_var_name: arr}, coords), path)
+
+
+def save_lowrank(psd, path: str, **kwargs) -> None:
+    """Persist a factored (clipped) covariance ``LowRankPSD`` to netCDF.
+
+    The 1-degree production artifact is the FACTORED repaired
+    covariance (diag(floor) + V diag(gains) V', ~n r floats), not the
+    n x n matrix — this writer/loader pair extends the reference's
+    precompute-and-persist idiom (`interpolation_covariance.py:22-46`)
+    to it. `path` may be a str.format template resolved with kwargs.
+    """
+    if kwargs:
+        path = path.format(**kwargs)
+    V = np.asarray(psd.vectors)
+    g = np.asarray(psd.gains)
+    f = np.asarray(psd.floor)
+    n, r = V.shape
+    coords = Coordinates({"index": np.arange(n), "mode": np.arange(r)})
+    ds = Dataset(
+        {
+            "vectors": DataArray(V, coords, name="vectors"),
+            "gains": DataArray(
+                g, Coordinates({"mode": np.arange(r)}), name="gains"
+            ),
+            "floor": DataArray(
+                f, Coordinates({"index": np.arange(n)}), name="floor"
+            ),
+        },
+        coords,
+    )
+    save_dataset(ds, path)
+
+
+def load_lowrank(path: str, **kwargs):
+    """Load a ``LowRankPSD`` persisted by :func:`save_lowrank`."""
+    import jax.numpy as jnp
+
+    from ..ops.covariance_tools import LowRankPSD
+
+    return LowRankPSD(
+        vectors=jnp.asarray(load_array(path, "vectors", **kwargs).values),
+        gains=jnp.asarray(load_array(path, "gains", **kwargs).values),
+        floor=jnp.asarray(load_array(path, "floor", **kwargs).values),
+    )

@@ -128,3 +128,32 @@ def test_load_array_from_reference():
         reference_data_path("Atlantic_Ocean_07.nc"), "standard_deviation"
     )
     assert arr.shape == (120, 120)
+
+
+def test_lowrank_roundtrip(tmp_path, rng):
+    """save_lowrank/load_lowrank: factored covariance persists exactly."""
+    import jax.numpy as jnp
+
+    from glomargridding_tpu.io import load_lowrank, save_lowrank
+    from glomargridding_tpu.ops.covariance_tools import LowRankPSD
+
+    n, r = 60, 5
+    Q, _ = np.linalg.qr(rng.normal(size=(n, r)))
+    psd = LowRankPSD(
+        vectors=jnp.asarray(Q, jnp.float32),
+        gains=jnp.asarray(np.linspace(4.0, 1.0, r), jnp.float32),
+        floor=jnp.asarray(rng.uniform(0.05, 0.2, n), jnp.float32),
+    )
+    path = str(tmp_path / "psd_{month:02d}.nc")
+    save_lowrank(psd, path, month=3)
+    back = load_lowrank(path, month=3)
+    np.testing.assert_array_equal(
+        np.asarray(back.vectors), np.asarray(psd.vectors)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(back.gains), np.asarray(psd.gains)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(back.floor), np.asarray(psd.floor)
+    )
+    np.testing.assert_allclose(back.to_dense(), psd.to_dense())
