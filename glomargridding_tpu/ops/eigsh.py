@@ -57,17 +57,25 @@ def _cholqr_once(Y):
     return Q, ok
 
 
-def _orthonormalise(Y):
-    """Orthonormal basis of range(Y): CholQR2 with Householder fallback.
+def _cholqr2(Y):
+    """CholQR2 orthonormal basis of range(Y) + a DEVICE validity flag.
 
     Two Cholesky-QR passes give orthogonality to ~machine precision for
     condition numbers up to ~1/sqrt(eps) (Yamamoto et al. 2015) — ample
     for subspace iteration, where Y is a covariance image of a random
-    block. The one-shot fallback covers pathological inputs.
+    block. The flag stays on device: callers combine flags across all
+    passes and sync ONCE (a blocking host fetch per pass costs ~0.5-1 s
+    each over a remote-tunnel backend).
     """
     Q, ok1 = _cholqr_once(Y)
     Q, ok2 = _cholqr_once(Q)
-    if bool(np.asarray(ok1)) and bool(np.asarray(ok2)):
+    return Q, ok1 & ok2
+
+
+def _orthonormalise(Y):
+    """Orthonormal basis of range(Y): CholQR2 with Householder fallback."""
+    Q, ok = _cholqr2(Y)
+    if bool(np.asarray(ok)):
         return Q
     return jnp.linalg.qr(Y)[0]
 
@@ -142,15 +150,34 @@ def topk_eigh(
         order = np.argsort(w)[::-1][:k]
         return w[order], jnp.asarray(V[:, order.copy()])
 
-    Y = jnp.asarray(matvec(jax.random.normal(key, (n, width), dtype)))
+    # All CholQR validity flags are combined ON DEVICE and checked once
+    # at the end (each mid-loop host sync costs ~0.5-1 s over a
+    # remote-tunnel backend); on the rare failure the whole iteration
+    # reruns with Householder QR.
+    Y0 = jnp.asarray(matvec(jax.random.normal(key, (n, width), dtype)))
+    Y = Y0
+    all_ok = jnp.asarray(True)
     for _ in range(n_iter):
-        Y = jnp.asarray(matvec(_orthonormalise(Y)))
-    Q = _orthonormalise(Y)
+        Q, ok = _cholqr2(Y)
+        all_ok = all_ok & ok
+        Y = jnp.asarray(matvec(Q))
+    Q, ok = _cholqr2(Y)
+    all_ok = all_ok & ok
     B = jnp.asarray(matvec(Q))
     T = Q.T @ B
     T = 0.5 * (T + T.T)
-    # (width, width) projection: tiny — host LAPACK, not TPU Jacobi
-    theta, U = np.linalg.eigh(np.asarray(T))
+    # (width, width) projection: tiny — host LAPACK, not TPU Jacobi.
+    # Fetching T is the single host sync that also resolves `all_ok`.
+    T_host, ok_host = np.asarray(T), bool(np.asarray(all_ok))
+    if not ok_host:  # pathological input: redo with Householder QR
+        Y = Y0
+        for _ in range(n_iter):
+            Y = jnp.asarray(matvec(jnp.linalg.qr(Y)[0]))
+        Q = jnp.linalg.qr(Y)[0]
+        B = jnp.asarray(matvec(Q))
+        T = 0.5 * ((Q.T @ B) + (Q.T @ B).T)
+        T_host = np.asarray(T)
+    theta, U = np.linalg.eigh(T_host)
     order = np.argsort(theta)[::-1][:k]
     eigvecs = Q @ jnp.asarray(U[:, order.copy()])
     return theta[order], eigvecs
