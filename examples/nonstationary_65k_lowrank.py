@@ -15,10 +15,11 @@ than one chip's HBM, and far beyond the reference's dense-only path
   3. the bf16 store is FREED, and kriging + a 100-member two-stage
      ensemble run straight off the factors (``models.lowrank``).
 
-Measured (one v5e chip, 2026-08-17): operator assembly 7.8 s,
-low-rank clip 24.8 s (trace preserved to 7e-8), kriging + 100 members
-0.74 s warm (94 s incl. compile); ensemble spread 0.296 vs posterior
-kriging uncertainty 0.296. The reference cannot run this size at all.
+Measured (one v5e chip, 2026-08-17): operator assembly 2.1 s warm
+(~4-8 s incl. compile), low-rank clip ~25 s (trace preserved to 7e-8),
+kriging + 100 members 0.63-0.74 s warm (~95 s incl. compile); ensemble
+spread 0.296 vs posterior kriging uncertainty 0.296. The reference
+cannot run this size at all.
 
 Run: python examples/nonstationary_65k_lowrank.py
 """
