@@ -16,10 +16,10 @@ than one chip's HBM, and far beyond the reference's dense-only path
      ensemble run straight off the factors (``models.lowrank``).
 
 Measured (one v5e chip, 2026-08-17): operator assembly 2.1 s warm
-(~4-8 s incl. compile), low-rank clip ~25 s (trace preserved to 7e-8),
-kriging + 100 members 0.63-0.74 s warm (~95 s incl. compile); ensemble
-spread 0.296 vs posterior kriging uncertainty 0.296. The reference
-cannot run this size at all.
+(~4-8 s incl. compile), low-rank clip 4.3 s warm (~24 s incl. compile;
+trace preserved to 7e-8), kriging + 100 members 0.63-0.74 s warm
+(~95 s incl. compile); ensemble spread 0.296 vs posterior kriging
+uncertainty 0.296. The reference cannot run this size at all.
 
 Run: python examples/nonstationary_65k_lowrank.py
 """

@@ -52,7 +52,15 @@ def _cholqr_once(Y):
         G.shape[0], dtype=Y.dtype
     )
     L = jnp.linalg.cholesky(G)
-    Q = jsl.solve_triangular(L, Y.T, lower=True).T
+    # Invert the SMALL (l, l) factor and apply it as a matmul: a tall
+    # (n, l) triangular solve runs at a fraction of MXU throughput on
+    # TPU, while Y @ L^{-T} is one dense matmul. Any inverse roundoff
+    # lands in Q's non-orthogonality, which the second CholQR pass
+    # removes (that is what the "2" in CholQR2 is for).
+    Linv = jsl.solve_triangular(
+        L, jnp.eye(L.shape[0], dtype=Y.dtype), lower=True
+    )
+    Q = Y @ Linv.T
     ok = jnp.isfinite(L[-1, -1])
     return Q, ok
 
