@@ -138,3 +138,32 @@ def test_out_of_interval_diverges(rng):
     )
     arr = np.asarray(draws)
     assert (~np.isfinite(arr)).any() or np.abs(arr).max() > 100  # diverged
+
+
+def test_chebyshev_accepts_plain_closure(rng):
+    """Back-compat: a bare callable matvec (no Matvec wrapper) works."""
+    import jax.numpy as jnp
+
+    from glomargridding_tpu.ops.sampling import (
+        Matvec,
+        chebyshev_apply,
+        chebyshev_sqrt_coeffs,
+        dense_matvec,
+    )
+
+    n = 40
+    B = rng.normal(size=(n, n))
+    cov = (B @ B.T / n + np.eye(n)).astype(np.float64)
+    z = rng.normal(size=(n, 3))
+    coeffs = jnp.asarray(chebyshev_sqrt_coeffs(0.5, 30.0, 60))
+    A = jnp.asarray(cov)
+
+    wrapped = dense_matvec(A, jnp.float64)
+    assert isinstance(wrapped, Matvec)
+    got_wrapped = chebyshev_apply(wrapped, jnp.asarray(z), coeffs, 0.5, 30.0)
+    got_closure = chebyshev_apply(
+        lambda v: A @ v, jnp.asarray(z), coeffs, 0.5, 30.0
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_wrapped), np.asarray(got_closure), rtol=1e-10
+    )
