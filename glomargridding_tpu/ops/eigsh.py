@@ -161,9 +161,10 @@ def topk_eigh(
     # All CholQR validity flags are combined ON DEVICE and checked once
     # at the end (each mid-loop host sync costs ~0.5-1 s over a
     # remote-tunnel backend); on the rare failure the whole iteration
-    # reruns with Householder QR.
-    Y0 = jnp.asarray(matvec(jax.random.normal(key, (n, width), dtype)))
-    Y = Y0
+    # reruns with Householder QR, regenerating the start block from the
+    # key (retaining it would cost an extra (n, width) buffer — 2.1 GB
+    # at 259k — for a path that essentially never runs).
+    Y = jnp.asarray(matvec(jax.random.normal(key, (n, width), dtype)))
     all_ok = jnp.asarray(True)
     for _ in range(n_iter):
         Q, ok = _cholqr2(Y)
@@ -178,7 +179,7 @@ def topk_eigh(
     # Fetching T is the single host sync that also resolves `all_ok`.
     T_host, ok_host = np.asarray(T), bool(np.asarray(all_ok))
     if not ok_host:  # pathological input: redo with Householder QR
-        Y = Y0
+        Y = jnp.asarray(matvec(jax.random.normal(key, (n, width), dtype)))
         for _ in range(n_iter):
             Y = jnp.asarray(matvec(jnp.linalg.qr(Y)[0]))
         Q = jnp.linalg.qr(Y)[0]
