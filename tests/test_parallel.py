@@ -322,3 +322,51 @@ def test_sharded_lowrank_matches_single_device(rng):
     assert shapes == {(4, 64)}, shapes
     vec_shapes = {s.data.shape for s in res2.field.addressable_shards}
     assert vec_shapes == {(64,)}, vec_shapes
+
+
+def test_clip_on_row_sharded_store(rng):
+    """Pod-scale PSD repair: the randomized clip works unchanged on a
+    ROW-SHARDED covariance store (the Matvec operand is sharded; GSPMD
+    places the collectives), completing sharded-assembly -> sharded
+    clip -> sharded low-rank ensemble."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from glomargridding_tpu.ops.covariance_tools import (
+        explained_variance_clip_lowrank,
+    )
+    from glomargridding_tpu.ops.sampling import dense_matvec
+
+    n, r = 256, 12
+    A = rng.normal(size=(n, n))
+    Q, _ = np.linalg.qr(A)
+    w = np.concatenate([np.linspace(30.0, 5.0, r), np.full(n - r, 0.1)])
+    cov = (Q * w[None, :]) @ Q.T
+    cov = ((cov + cov.T) / 2).astype(np.float32)
+
+    psd_local = explained_variance_clip_lowrank(
+        jnp.asarray(cov), target_variance_fraction=0.9, k0=16
+    )
+
+    mesh = make_mesh(n_grid=8, n_ens=1)
+    cov_sharded = jax.device_put(
+        jnp.asarray(cov), NamedSharding(mesh, P("grid", None))
+    )
+    psd_sharded = explained_variance_clip_lowrank(
+        dense_matvec(cov_sharded),
+        n=n,
+        trace=float(np.trace(cov)),
+        target_variance_fraction=0.9,
+        k0=16,
+    )
+    assert psd_sharded.rank == psd_local.rank
+    np.testing.assert_allclose(
+        np.asarray(psd_sharded.gains),
+        np.asarray(psd_local.gains),
+        rtol=1e-4,
+        atol=1e-3 * float(np.asarray(psd_local.gains).max()),
+    )
+    # the clipped MATRICES agree (eigenvectors are sign/rotation free)
+    np.testing.assert_allclose(
+        psd_sharded.to_dense(), psd_local.to_dense(), atol=1e-3
+    )
