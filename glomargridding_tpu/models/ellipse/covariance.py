@@ -515,38 +515,23 @@ def ellipse_covariance_operator(
     )
     cols = (lats_rad, lons_rad, sig_flat, sqrt_dets, stdevs)
 
-    # EVERY device array is an explicit jit ARGUMENT here, never a
-    # closure capture: captured concrete arrays are lowered as program
-    # constants, which (a) forces a device->host round trip per constant
-    # at trace time — ~40 s each over a remote-tunnel backend — and
-    # (b) at 65k embeds an 8.4 GB constant that exhausts HBM.
-
-    def _tile(row_inputs, cols):
-        la_b, lo_b, sig_b, sd_b, st_b = row_inputs
-        la, lo, sg, sd, st = cols
-        return ellipse_covariance_block(
-            la_b, lo_b, sig_b, sd_b, st_b,
-            la, lo, sg, sd, st,
-            v=v,
-            delta_x_method=delta_x_method,
-            max_dist=md,
-            use_max_dist=use_md,
-        )
+    # EVERY device array is an explicit jit ARGUMENT of the MODULE-LEVEL
+    # jitted helpers below, never a closure capture: captured concrete
+    # arrays are lowered as program constants, which (a) forces a
+    # device->host round trip per constant at trace time — ~40 s each
+    # over a remote-tunnel backend — and (b) at 65k embeds an 8.4 GB
+    # constant that exhausts HBM. Module-level jits also mean
+    # re-creating the operator (e.g. monthly) hits the compile cache
+    # instead of retracing fresh closures.
+    kparams = (v, delta_x_method, md, use_md)
 
     if store == "stream":
 
-        @jax.jit
-        def _apply_stream(rows, cols, diag, x2):
-            def per_block(_, inputs):
-                return None, _tile(inputs, cols) @ x2
-
-            _, out = jax.lax.scan(per_block, None, rows)
-            out = out.reshape(-1, x2.shape[1])[:n]
-            return out + diag[:, None] * x2
-
         def matvec(x):
             x2 = x if x.ndim == 2 else x[:, None]
-            out = _apply_stream(rows, cols, diag, x2.astype(jnp.float32))
+            out = _operator_apply_stream(
+                rows, cols, diag, x2.astype(jnp.float32), kparams, n
+            )
             return out if x.ndim == 2 else out[:, 0]
 
         return matvec, n, trace
@@ -554,34 +539,60 @@ def ellipse_covariance_operator(
     if store != "bf16":
         raise ValueError(f"Unknown store: {store!r}")
 
-    @jax.jit
-    def _build(rows, cols):
-        def per_block(_, inputs):
-            return None, _tile(inputs, cols).astype(jnp.bfloat16)
-
-        _, A = jax.lax.scan(per_block, None, rows)
-        # Deliberately kept (n_blocks, block, n): reshaping the stacked
-        # 8.5 GB store to 2-D can materialise a second copy (2x peak ->
-        # OOM at 65k); the matvec batches over the leading axis instead
-        # and reshapes only its small output.
-        return A
-
-    A = _build(rows, cols)
-
-    @jax.jit
-    def _apply(A, diag, x2):
-        y = jax.lax.dot_general(
-            A,
-            x2.astype(jnp.bfloat16),
-            (((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (n_blocks, block, k)
-        y = y.reshape(-1, x2.shape[1])[:n]
-        return y + diag[:, None] * x2
+    A = _operator_build(rows, cols, kparams)
 
     def matvec(x):
         x2 = x if x.ndim == 2 else x[:, None]
-        out = _apply(A, diag, x2.astype(jnp.float32))
+        out = _operator_apply_bf16(A, diag, x2.astype(jnp.float32), n)
         return out if x.ndim == 2 else out[:, 0]
 
     return matvec, n, trace
+
+
+def _op_tile(row_inputs, cols, kparams):
+    la_b, lo_b, sig_b, sd_b, st_b = row_inputs
+    la, lo, sg, sd, st = cols
+    v, delta_x_method, md, use_md = kparams
+    return ellipse_covariance_block(
+        la_b, lo_b, sig_b, sd_b, st_b,
+        la, lo, sg, sd, st,
+        v=v,
+        delta_x_method=delta_x_method,
+        max_dist=md,
+        use_max_dist=use_md,
+    )
+
+
+@partial(jax.jit, static_argnames=("kparams",))
+def _operator_build(rows, cols, kparams):
+    def per_block(_, inputs):
+        return None, _op_tile(inputs, cols, kparams).astype(jnp.bfloat16)
+
+    _, A = jax.lax.scan(per_block, None, rows)
+    # Deliberately kept (n_blocks, block, n): reshaping the stacked
+    # 8.5 GB store to 2-D can materialise a second copy (2x peak ->
+    # OOM at 65k); the matvec batches over the leading axis instead
+    # and reshapes only its small output.
+    return A
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _operator_apply_bf16(A, diag, x2, n):
+    y = jax.lax.dot_general(
+        A,
+        x2.astype(jnp.bfloat16),
+        (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (n_blocks, block, k)
+    y = y.reshape(-1, x2.shape[1])[:n]
+    return y + diag[:, None] * x2
+
+
+@partial(jax.jit, static_argnames=("kparams", "n"))
+def _operator_apply_stream(rows, cols, diag, x2, kparams, n):
+    def per_block(_, inputs):
+        return None, _op_tile(inputs, cols, kparams) @ x2
+
+    _, out = jax.lax.scan(per_block, None, rows)
+    out = out.reshape(-1, x2.shape[1])[:n]
+    return out + diag[:, None] * x2

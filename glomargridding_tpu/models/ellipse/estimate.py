@@ -187,9 +187,20 @@ class EllipseBuilder:
 
     @property
     def cov_diagonal(self):
-        """diag of the empirical covariance without forming it."""
-        x = self._x_centered
-        return jnp.einsum("tn,tn->n", x, x) / (self.time_n - 1)
+        """diag of the empirical covariance without forming it.
+
+        Cached as HOST data: the per-point parity path reads one entry
+        per fit, and an uncached device einsum + sync per read is a
+        ~0.5-1 s round-trip each over a remote-tunnel backend.
+        """
+        cached = getattr(self, "_cov_diagonal", None)
+        if cached is None:
+            x = self._x_centered
+            cached = np.asarray(
+                jnp.einsum("tn,tn->n", x, x) / (self.time_n - 1)
+            )
+            self._cov_diagonal = cached
+        return cached
 
     # -- training data (parity helper; batched path builds masks inline) ----
     def _train_geometry(

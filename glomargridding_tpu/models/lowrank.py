@@ -299,14 +299,33 @@ def lowrank_members_from_states(
     idx = jnp.asarray(idx)
     y = jnp.asarray(obs, dtype)
     E = jnp.asarray(error_cov, dtype)
-    field, _, _, _ = _lowrank_solve(
-        V, g, f, E, idx, y, jax.random.key(0), 0
+    return _members_from_states_jit(
+        V, g, f, E, idx, y,
+        jnp.asarray(states, dtype), jnp.asarray(eps, dtype),
     )
+
+
+@jax.jit
+def _members_from_states_jit(V, g, f, E, idx, y, states, eps):
+    # one factorisation shared by the field solve and the member update
+    # (diagnostics and their m^3 triangular work are not needed here)
     V_o = V[idx]
     f_o = f[idx]
     K = (V_o * g[None, :]) @ V_o.T + jnp.diag(f_o) + E
     L = jnp.linalg.cholesky(K)
-    sim_obs = jnp.asarray(states, dtype)[:, idx] + jnp.asarray(eps, dtype)
-    A = jsl.cho_solve((L, True), sim_obs.T)  # (m, members)
+    factor = (L, True)
+    m = idx.shape[0]
+    ones = jnp.ones((m,), V.dtype)
+    u = jsl.cho_solve(factor, ones)
+    w = jsl.cho_solve(factor, y)
+    s = jnp.sum(u)
+    uy = u @ y
+    t = _cross_t_apply(V, g, f, idx, u)
+    cw = _cross_t_apply(V, g, f, idx, w)
+    lam = (t - 1.0) / s
+    field = cw - lam * uy
+
+    sim_obs = states[:, idx] + eps
+    A = jsl.cho_solve(factor, sim_obs.T)  # (m, members)
     grid_sim = _cross_t_apply(V, g, f, idx, A)  # (n, members)
-    return field[None, :] + (grid_sim - jnp.asarray(states, dtype).T).T
+    return field[None, :] + (grid_sim - states.T).T

@@ -232,7 +232,12 @@ class LowRankPSD:
         )
 
     def trace(self) -> float:
-        return float(jnp.sum(self.floor) + jnp.sum(self.gains))
+        # Exact for NON-orthonormal vectors too (laloux scales columns
+        # by sqrt(diag)): tr(W g W') = sum_k g_k ||w_k||^2.
+        return float(
+            jnp.sum(self.floor)
+            + jnp.sum(self.gains * jnp.sum(self.vectors**2, axis=0))
+        )
 
     def to_dense(self) -> np.ndarray:
         out = (self.vectors * self.gains[None, :]) @ self.vectors.T
@@ -286,6 +291,11 @@ def _adaptive_topk(matvec, n, accept, k0, max_rank, **topk_kwargs):
     while True:
         w, V = topk_eigh(matvec, k, n, **topk_kwargs)
         r = accept(w)
+        if r is None and k >= n:
+            # full spectrum computed and the target still not strictly
+            # exceeded (float roundoff at target ~ trace): retaining
+            # everything is exact
+            r = k
         if r is not None and (r <= k // 2 or k >= n):
             return w, V, r
         if k >= min(n, max_rank):
@@ -358,17 +368,28 @@ def explained_variance_clip_lowrank(
     retained = w[:r]
     var_explained = float(retained.sum())
     if trace < var_explained:
-        new_threshold = float(retained[:-1].sum()) / trace
-        raise ValueError(
-            "Variance explained by retained eigenvalues exceeds total "
-            "variance. Resulting matrix will have negative eigenvalues. "
-            f"Try using a lower threshold. A value below {new_threshold:.2f}"
-            " may work."
-        )
-    avg = (trace - var_explained) / (n - r)
+        rel_excess = (var_explained - trace) / max(abs(trace), 1e-30)
+        if r < n and rel_excess > 1e-4:
+            new_threshold = float(retained[:-1].sum()) / trace
+            raise ValueError(
+                "Variance explained by retained eigenvalues exceeds "
+                "total variance. Resulting matrix will have negative "
+                "eigenvalues. Try using a lower threshold. A value "
+                f"below {new_threshold:.2f} may work."
+            )
+        # full-rank retention / solver roundoff: the clip is (near-)
+        # exact — clamp instead of failing
+        var_explained = trace
+    # r == n: everything retained — the clip is exact, floor is 0
+    avg = 0.0 if r >= n else (trace - var_explained) / (n - r)
     logger.info("total explained variance = %s", trace)
     logger.info("clipped explained variance = %s", var_explained)
+    # re-normalise the retained columns: the solver's wide basis is
+    # only ~1e-3 orthonormal in f32 when the operator's numerical rank
+    # is below the iteration width, and tr(W g W') depends directly on
+    # the column norms (trace preservation would silently degrade)
     vecs = V[:, :r]
+    vecs = vecs / jnp.sqrt(jnp.sum(vecs**2, axis=0))[None, :]
     gains = jnp.maximum(jnp.asarray(retained - avg, vecs.dtype), 0.0)
     floor = jnp.full((n,), avg, vecs.dtype)
     return LowRankPSD(vectors=vecs, gains=gains, floor=floor)
@@ -440,19 +461,33 @@ def laloux_clip_lowrank(
         dtype=dtype,
     )
     retained = w[:r]
-    avg = (n - float(retained.sum())) / (n - r)
+    avg = 0.0 if r >= n else (n - float(retained.sum())) / (n - r)
     if avg < 0:
         raise ValueError(
             "Retained eigenvalues exceed the correlation trace; the "
             "aspect-ratio threshold retained too much variance."
         )
-    vecs = d[:, None] * V[:, :r]
+    # unit-normalise the correlation eigenvectors before the sqrt(diag)
+    # scaling (see explained_variance_clip_lowrank)
+    Vr = V[:, :r]
+    Vr = Vr / jnp.sqrt(jnp.sum(Vr**2, axis=0))[None, :]
+    vecs = d[:, None] * Vr
     gains = jnp.maximum(jnp.asarray(retained - avg, vecs.dtype), 0.0)
     floor = avg * diag.astype(vecs.dtype)
     return LowRankPSD(vectors=vecs, gains=gains, floor=floor)
 
 
 Spectrum = Literal["auto", "full", "partial"]
+
+
+def _shape0(cov) -> int:
+    """Leading dimension WITHOUT np.asarray: that forces a full
+    device-to-host copy of the covariance (seconds at large n over a
+    remote-tunnel backend) just to read a shape."""
+    shape = getattr(cov, "shape", None)
+    if shape is None:
+        shape = np.asarray(cov).shape
+    return int(shape[0])
 
 
 def _use_partial(n: int, spectrum: Spectrum) -> bool:
@@ -483,14 +518,21 @@ def explained_variance_clip(
     solver accuracy (pinned by tests).
     (Parity: reference ``covariance_tools.py:633-728``.)
     """
-    n = np.asarray(cov).shape[0] if not callable(cov) else None
+    n = _shape0(cov) if not callable(cov) else None
     if callable(cov) or _use_partial(n, spectrum):
-        lr = explained_variance_clip_lowrank(
-            cov,
-            target_variance_fraction=target_variance_fraction,
-            **partial_kwargs,
-        )
-        return lr.to_dense()
+        try:
+            lr = explained_variance_clip_lowrank(
+                cov,
+                target_variance_fraction=target_variance_fraction,
+                **partial_kwargs,
+            )
+            return lr.to_dense()
+        except ValueError:
+            # spectrum too flat for a low-rank clip: under "auto" a
+            # dense input falls back to the exact full path (0.1.0
+            # behaviour); explicit "partial" or a callable re-raises
+            if callable(cov) or spectrum != "auto":
+                raise
     if not 0.0 < target_variance_fraction <= 1.0:
         raise ValueError("'target_variance_fraction' must be (0, 1.0]")
     eigvals, eigvecs = _eigh(cov)
@@ -514,15 +556,20 @@ def laloux_clip(
     variances. ``spectrum`` as in :func:`explained_variance_clip`.
     (Parity: reference ``covariance_tools.py:519-630``.)
     """
-    n = np.asarray(cov).shape[0] if not callable(cov) else None
+    n = _shape0(cov) if not callable(cov) else None
     if callable(cov) or _use_partial(n, spectrum):
-        lr = laloux_clip_lowrank(
-            cov,
-            num_grid_pts=num_grid_pts,
-            num_time_pts=num_time_pts,
-            **partial_kwargs,
-        )
-        return lr.to_dense()
+        try:
+            lr = laloux_clip_lowrank(
+                cov,
+                num_grid_pts=num_grid_pts,
+                num_time_pts=num_time_pts,
+                **partial_kwargs,
+            )
+            return lr.to_dense()
+        except ValueError:
+            if callable(cov) or spectrum != "auto":
+                raise
+            # flat spectrum under "auto": exact full-path fallback
     cov = np.asarray(cov)
     num_grid_pts = num_grid_pts or cov.shape[0]
     variances = np.diag(cov)

@@ -80,14 +80,6 @@ def _cholqr2(Y):
     return Q, ok1 & ok2
 
 
-def _orthonormalise(Y):
-    """Orthonormal basis of range(Y): CholQR2 with Householder fallback."""
-    Q, ok = _cholqr2(Y)
-    if bool(np.asarray(ok)):
-        return Q
-    return jnp.linalg.qr(Y)[0]
-
-
 def _as_matvec(operator, n: int | None):
     """Normalise (dense | callable) to (matvec, n)."""
     if callable(operator):
@@ -189,6 +181,12 @@ def topk_eigh(
     theta, U = np.linalg.eigh(T_host)
     order = np.argsort(theta)[::-1][:k]
     eigvecs = Q @ jnp.asarray(U[:, order.copy()])
+    # NOTE: when the operator's numerical rank is below the iteration
+    # width (covariances with fast-decaying spectra), the basis spans
+    # degenerate directions and the returned columns are orthonormal
+    # only to ~1e-3 in f32. The LEADING pairs stay accurate; consumers
+    # that resynthesise matrices from a retained subset (the clips)
+    # re-normalise those columns.
     return theta[order], eigvecs
 
 

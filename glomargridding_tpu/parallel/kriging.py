@@ -101,13 +101,29 @@ def ensemble_kriging_step(
             f"size {mesh.shape['ens']}"
         )
     sh = _shardings(mesh)
-    m = covariance.shape[0]
+    m_true = covariance.shape[0]
     n_grid = mesh.shape["grid"]
-    n_blocks = _resolve_blocks(m, n_grid, n_blocks)
+    # Arbitrary grid sizes (ocean-masked grids): pad the covariance to
+    # the block grid with an IDENTITY tail — SPD is preserved, the
+    # factor's tail rows are e_i, and every output is sliced back to
+    # m_true below.
+    if n_blocks is None:
+        nb_try = max(n_grid, min(32, max(1, m_true // 128)))
+        nb_try = max(n_grid, (nb_try // n_grid) * n_grid)
+    else:
+        nb_try = n_blocks
+    m = -(-m_true // nb_try) * nb_try
+    cov_arr = jnp.asarray(covariance)
+    if m != m_true:
+        pad = m - m_true
+        cov_arr = jnp.pad(cov_arr, ((0, pad), (0, pad)))
+        tail = jnp.arange(m_true, m)
+        cov_arr = cov_arr.at[tail, tail].set(1.0)
+    n_blocks = _resolve_blocks(m, n_grid, nb_try)
     nb = m // n_blocks
 
     cov_blocks = jax.device_put(
-        jnp.asarray(covariance).reshape(n_blocks, nb, m),
+        cov_arr.reshape(n_blocks, nb, m),
         NamedSharding(mesh, P("grid")),
     )
     E = jax.device_put(jnp.asarray(error_cov, cov_blocks.dtype), sh["repl"])
@@ -155,4 +171,9 @@ def ensemble_kriging_step(
         members = field[None, :] + (sim_grid - states)
         return members, field, uncert2
 
-    return step(cov_blocks, E, idx, y, key, n_members)
+    members, field, uncert2 = step(cov_blocks, E, idx, y, key, n_members)
+    if m != m_true:  # drop the identity-pad tail
+        members = members[:, :m_true]
+        field = field[:m_true]
+        uncert2 = uncert2[:m_true]
+    return members, field, uncert2

@@ -149,3 +149,77 @@ def test_clean_small_and_symmetric():
     assert out[0, 1] == 0.0
     assert check_symmetric(out)
     assert not check_symmetric(np.array([[1.0, 2.0], [0.0, 1.0]]))
+
+
+def test_lowrank_trace_exact_for_scaled_vectors(rng):
+    """LowRankPSD.trace() must not assume orthonormal vectors: the
+    laloux clip scales columns by sqrt(diag)."""
+    import jax.numpy as jnp
+
+    from glomargridding_tpu.ops.covariance_tools import (
+        LowRankPSD,
+        laloux_clip_lowrank,
+    )
+
+    n, r = 80, 6
+    Q, _ = np.linalg.qr(rng.normal(size=(n, r)))
+    scale = rng.uniform(0.5, 2.0, n)
+    psd = LowRankPSD(
+        vectors=jnp.asarray(scale[:, None] * Q),
+        gains=jnp.asarray(np.linspace(5.0, 1.0, r)),
+        floor=jnp.asarray(rng.uniform(0.05, 0.3, n)),
+    )
+    assert np.isclose(psd.trace(), np.trace(psd.to_dense()), rtol=1e-10)
+
+    # end-to-end: trace() is self-consistent with the densified matrix
+    # (laloux preserves the CORRELATION trace exactly; the covariance
+    # trace only approximately — same as the reference)
+    T = 30
+    X = rng.normal(size=(T, n)) * np.sqrt(scale)[None, :]
+    cov = X.T @ X / (T - 1)
+    lr = laloux_clip_lowrank(cov, num_time_pts=T, k0=16)
+    assert np.isclose(lr.trace(), np.trace(lr.to_dense()), rtol=1e-6)
+    assert np.isclose(lr.trace(), np.trace(cov), rtol=0.05)
+
+
+def test_auto_spectrum_falls_back_on_flat_spectrum(rng):
+    """spectrum='auto' on a dense matrix whose spectrum is too flat for
+    the low-rank path must fall back to the exact full clip instead of
+    raising (0.1.0 behaviour)."""
+    from glomargridding_tpu.ops.covariance_tools import (
+        explained_variance_clip,
+    )
+
+    n = 300
+    cov = np.eye(n) + 1e-3 * np.ones((n, n))  # near-flat spectrum
+    out = explained_variance_clip(
+        cov, target_variance_fraction=0.99, spectrum="auto",
+        k0=8, max_rank=16,  # forces the partial path to give up
+    )
+    assert np.isclose(np.trace(out), np.trace(cov), rtol=1e-8)
+    # explicit "partial" must still raise
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_rank"):
+        explained_variance_clip(
+            cov, target_variance_fraction=0.99, spectrum="partial",
+            k0=8, max_rank=16,
+        )
+
+
+def test_lowrank_clip_full_rank_no_division_error(rng):
+    """target_variance_fraction=1.0 retaining every eigenvalue must
+    return the exact factorisation, not divide by (n - n)."""
+    import jax.numpy as jnp
+
+    from glomargridding_tpu.ops.covariance_tools import (
+        explained_variance_clip_lowrank,
+    )
+
+    n = 24
+    B = rng.normal(size=(n, n))
+    cov = (B @ B.T / n + np.eye(n)).astype(np.float64)
+    psd = explained_variance_clip_lowrank(
+        jnp.asarray(cov), target_variance_fraction=1.0, k0=n
+    )
+    np.testing.assert_allclose(psd.to_dense(), cov, rtol=1e-8, atol=1e-10)

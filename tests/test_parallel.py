@@ -370,3 +370,21 @@ def test_clip_on_row_sharded_store(rng):
     np.testing.assert_allclose(
         psd_sharded.to_dense(), psd_local.to_dense(), atol=1e-3
     )
+
+
+def test_ensemble_step_non_divisible_grid(rng):
+    """Grid sizes that don't divide the block grid (ocean-masked grids)
+    are identity-padded internally; outputs match the dense reference
+    on the true m rows."""
+    cov, idx, obs, err = _problem(rng, m=130, n_obs=9)  # 130 % 8 != 0
+    mesh = make_mesh(n_grid=4, n_ens=2)
+    members, field, uncert2 = ensemble_kriging_step(
+        mesh, jax.random.key(3), cov, err, idx, obs, n_members=4
+    )
+    assert members.shape == (4, 130)
+    assert field.shape == (130,)
+    OK = OrdinaryKriging(cov, idx=idx, obs=obs, error_cov=err)
+    np.testing.assert_allclose(
+        np.asarray(field), OK.solve(), rtol=1e-5, atol=1e-6
+    )
+    assert np.isfinite(np.asarray(members)).all()
