@@ -775,3 +775,40 @@ def test_operator_clip_to_lowrank_ensemble(rng):
     np.testing.assert_allclose(
         r_op.field, r_dense.field, rtol=1e-4, atol=1e-5
     )
+
+
+def test_operator_recreation_hits_jit_cache(rng):
+    """Re-creating the covariance operator (monthly production) must
+    reuse the module-level compiled programs, not retrace fresh
+    closures."""
+    import jax.numpy as jnp
+
+    from glomargridding_tpu.models.ellipse.covariance import (
+        _operator_build,
+        ellipse_covariance_operator,
+    )
+    from glomargridding_tpu.ops.distances import sigma_rot_flat
+
+    n = 96
+    lats = jnp.asarray(np.radians(rng.uniform(-60, 60, n)), jnp.float32)
+    lons = jnp.asarray(np.radians(rng.uniform(-180, 180, n)), jnp.float32)
+    s00, s01, _, s11 = sigma_rot_flat(
+        jnp.full((n,), 1200.0), jnp.full((n,), 700.0), jnp.zeros((n,))
+    )
+    sig = jnp.stack([s00, s01, s11], axis=-1)
+    sqd = jnp.sqrt(s00 * s11 - s01 * s01)
+    sd = jnp.asarray(rng.uniform(0.5, 1.5, n), jnp.float32)
+
+    before = _operator_build._cache_size()
+    mv1, _, _ = ellipse_covariance_operator(
+        lats, lons, sig, sqd, sd, v=1.5, store="bf16"
+    )
+    mv1(jnp.ones((n,), jnp.float32))
+    after_first = _operator_build._cache_size()
+    mv2, _, _ = ellipse_covariance_operator(
+        lats, lons, sig, sqd, sd, v=1.5, store="bf16"
+    )
+    mv2(jnp.ones((n,), jnp.float32))
+    after_second = _operator_build._cache_size()
+    assert after_first == before + 1
+    assert after_second == after_first  # warm re-creation: no retrace
