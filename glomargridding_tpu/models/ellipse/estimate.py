@@ -160,6 +160,7 @@ class EllipseBuilder:
         x = x - jnp.mean(x, axis=0, keepdims=True)
         self._x_centered = x
         self._rounding = rounding
+        self._cov_diagonal = None  # derived cache: invalidate on recompute
         if rounding is not None:
             # rare parity path (reference rounds cov before normalising)
             self.cor = cov_2_cor(

@@ -54,6 +54,34 @@ class LowRankKrigingResult(NamedTuple):
     constraint_mask: jax.Array
 
 
+def _factor_and_field(V, g, f, E, idx, y):
+    """Shared ordinary-kriging core off the factors: one Cholesky of
+    K = C_obs + E drives the field and the Lagrange diagnostics.
+
+    Returns (factor, V_o, f_o, field, t, lam, uy) — everything both the
+    full solve and the deterministic test seam
+    (``lowrank_members_from_states``) need, so the algebra lives in
+    exactly one place.
+    """
+    dtype = V.dtype
+    m = idx.shape[0]
+    V_o = V[idx]
+    f_o = f[idx]
+    K = (V_o * g[None, :]) @ V_o.T + jnp.diag(f_o) + E
+    L = jnp.linalg.cholesky(K)
+    factor = (L, True)
+    ones = jnp.ones((m,), dtype)
+    u = jsl.cho_solve(factor, ones)
+    w = jsl.cho_solve(factor, y)
+    s = jnp.sum(u)
+    uy = u @ y
+    t = _cross_t_apply(V, g, f, idx, u)  # (n,) colsums of K^{-1}C_x
+    cw = _cross_t_apply(V, g, f, idx, w)
+    lam = (t - 1.0) / s
+    field = cw - lam * uy
+    return factor, V_o, f_o, field, t, lam, uy
+
+
 def _cross_t_apply(V, g, f, idx, z):
     """C_cross' @ z for z of shape (m,) or (m, b); C never formed.
 
@@ -83,24 +111,11 @@ def _lowrank_solve_impl(
     the m^3-triangular part of the solve — and returns zeros for them.
     """
     dtype = V.dtype
+    factor, V_o, f_o, field, t, lam, uy = _factor_and_field(
+        V, g, f, E, idx, y
+    )
+    L = factor[0]
     m = idx.shape[0]
-    V_o = V[idx]
-    f_o = f[idx]
-    K = (V_o * g[None, :]) @ V_o.T + jnp.diag(f_o) + E
-    L = jnp.linalg.cholesky(K)
-    factor = (L, True)
-
-    ones = jnp.ones((m,), dtype)
-    u = jsl.cho_solve(factor, ones)
-    w = jsl.cho_solve(factor, y)
-    s = jnp.sum(u)
-    uy = u @ y
-
-    # field / colsum diagnostics through the factored cross block
-    t = _cross_t_apply(V, g, f, idx, u)  # (n,) colsums of K^{-1}C_x
-    cw = _cross_t_apply(V, g, f, idx, w)
-    lam = (t - 1.0) / s
-    field = cw - lam * uy
 
     if diagnostics:
         # diag(C_x' K^{-1} C_x) = ||L^{-1} C_x[:, j]||^2 per column:
@@ -309,22 +324,7 @@ def lowrank_members_from_states(
 def _members_from_states_jit(V, g, f, E, idx, y, states, eps):
     # one factorisation shared by the field solve and the member update
     # (diagnostics and their m^3 triangular work are not needed here)
-    V_o = V[idx]
-    f_o = f[idx]
-    K = (V_o * g[None, :]) @ V_o.T + jnp.diag(f_o) + E
-    L = jnp.linalg.cholesky(K)
-    factor = (L, True)
-    m = idx.shape[0]
-    ones = jnp.ones((m,), V.dtype)
-    u = jsl.cho_solve(factor, ones)
-    w = jsl.cho_solve(factor, y)
-    s = jnp.sum(u)
-    uy = u @ y
-    t = _cross_t_apply(V, g, f, idx, u)
-    cw = _cross_t_apply(V, g, f, idx, w)
-    lam = (t - 1.0) / s
-    field = cw - lam * uy
-
+    factor, _, _, field, _, _, _ = _factor_and_field(V, g, f, E, idx, y)
     sim_obs = states[:, idx] + eps
     A = jsl.cho_solve(factor, sim_obs.T)  # (m, members)
     grid_sim = _cross_t_apply(V, g, f, idx, A)  # (n, members)

@@ -41,6 +41,11 @@ logger = logging.getLogger(__name__)
 _AUTO_PARTIAL_THRESHOLD = 4096
 
 
+class PartialSpectrumError(ValueError):
+    """The adaptive partial-spectrum clip hit max_rank without
+    converging (spectrum too flat for a low-rank clip)."""
+
+
 def check_symmetric(a, rtol: float = 1e-5, atol: float = 1e-8) -> bool:
     """True if a matrix is symmetric within tolerance."""
     a = np.asarray(a)
@@ -299,7 +304,7 @@ def _adaptive_topk(matvec, n, accept, k0, max_rank, **topk_kwargs):
         if r is not None and (r <= k // 2 or k >= n):
             return w, V, r
         if k >= min(n, max_rank):
-            raise ValueError(
+            raise PartialSpectrumError(
                 "Partial-spectrum clip did not converge within "
                 f"max_rank={max_rank} eigenpairs — the spectrum is too "
                 "flat for a low-rank clip; lower the target or use "
@@ -527,12 +532,18 @@ def explained_variance_clip(
                 **partial_kwargs,
             )
             return lr.to_dense()
-        except ValueError:
+        except PartialSpectrumError:
             # spectrum too flat for a low-rank clip: under "auto" a
             # dense input falls back to the exact full path (0.1.0
-            # behaviour); explicit "partial" or a callable re-raises
+            # behaviour); explicit "partial" or a callable re-raises.
+            # (Only this specific non-convergence triggers the
+            # fallback — argument errors still surface.)
             if callable(cov) or spectrum != "auto":
                 raise
+            logger.warning(
+                "partial-spectrum clip did not converge; falling back "
+                "to the full host eigh (n=%s)", n,
+            )
     if not 0.0 < target_variance_fraction <= 1.0:
         raise ValueError("'target_variance_fraction' must be (0, 1.0]")
     eigvals, eigvecs = _eigh(cov)
@@ -566,10 +577,14 @@ def laloux_clip(
                 **partial_kwargs,
             )
             return lr.to_dense()
-        except ValueError:
+        except PartialSpectrumError:
             if callable(cov) or spectrum != "auto":
                 raise
             # flat spectrum under "auto": exact full-path fallback
+            logger.warning(
+                "partial-spectrum clip did not converge; falling back "
+                "to the full host eigh (n=%s)", n,
+            )
     cov = np.asarray(cov)
     num_grid_pts = num_grid_pts or cov.shape[0]
     variances = np.diag(cov)

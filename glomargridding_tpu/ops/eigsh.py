@@ -132,7 +132,12 @@ def topk_eigh(
     -------
     (eigvals, eigvecs)
         ``eigvals``: (k,) numpy array, DESCENDING. ``eigvecs``: (n, k)
-        device array of matching Ritz vectors (orthonormal).
+        device array of matching Ritz vectors. Orthonormal to roundoff
+        when the operator's numerical rank exceeds the iteration width;
+        for rank-deficient operators (fast-decaying covariance spectra)
+        f32 columns are orthonormal only to ~1e-3 — consumers that
+        resynthesise matrices from a retained subset must re-normalise
+        (the clips in ``ops.covariance_tools`` do).
     """
     matvec, n = _as_matvec(operator, n)
     if k < 1:

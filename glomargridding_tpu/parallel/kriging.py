@@ -93,7 +93,7 @@ def ensemble_kriging_step(
     This is the framework's "training step" analog — the full production
     computation for one month of a HadCRUT-style ensemble.
     """
-    from .linalg import _resolve_blocks, make_sharded_cholesky
+    from .linalg import make_sharded_cholesky, resolve_blocks_padded
 
     if n_members % mesh.shape["ens"] != 0:
         raise ValueError(
@@ -107,19 +107,13 @@ def ensemble_kriging_step(
     # the block grid with an IDENTITY tail — SPD is preserved, the
     # factor's tail rows are e_i, and every output is sliced back to
     # m_true below.
-    if n_blocks is None:
-        nb_try = max(n_grid, min(32, max(1, m_true // 128)))
-        nb_try = max(n_grid, (nb_try // n_grid) * n_grid)
-    else:
-        nb_try = n_blocks
-    m = -(-m_true // nb_try) * nb_try
+    n_blocks, m = resolve_blocks_padded(m_true, n_grid, n_blocks)
     cov_arr = jnp.asarray(covariance)
     if m != m_true:
         pad = m - m_true
         cov_arr = jnp.pad(cov_arr, ((0, pad), (0, pad)))
         tail = jnp.arange(m_true, m)
         cov_arr = cov_arr.at[tail, tail].set(1.0)
-    n_blocks = _resolve_blocks(m, n_grid, nb_try)
     nb = m // n_blocks
 
     cov_blocks = jax.device_put(

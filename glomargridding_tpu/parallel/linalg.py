@@ -50,6 +50,20 @@ def _resolve_blocks(n: int, n_dev: int, n_blocks: int | None) -> int:
     return n_blocks
 
 
+def resolve_blocks_padded(
+    n: int, n_dev: int, n_blocks: int | None
+) -> tuple[int, int]:
+    """(n_blocks, n_padded) for an ARBITRARY n: the single source of the
+    block-count heuristic for callers that can pad (e.g. the ensemble
+    step pads the covariance with an identity tail). n_padded is the
+    smallest multiple of the chosen block count >= n."""
+    if n_blocks is None:
+        n_blocks = max(n_dev, min(32, n // 128 if n >= 128 else n_dev))
+        n_blocks = max(n_dev, (n_blocks // n_dev) * n_dev)
+    n_pad = -(-n // n_blocks) * n_blocks
+    return _resolve_blocks(n_pad, n_dev, n_blocks), n_pad
+
+
 def make_sharded_cholesky(mesh, n: int, n_blocks: int, axis: str = "grid"):
     """shard_map-wrapped blocked Cholesky, composable inside a jit.
 

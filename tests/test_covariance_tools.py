@@ -182,28 +182,34 @@ def test_lowrank_trace_exact_for_scaled_vectors(rng):
     assert np.isclose(lr.trace(), np.trace(cov), rtol=0.05)
 
 
-def test_auto_spectrum_falls_back_on_flat_spectrum(rng):
+def test_auto_spectrum_falls_back_on_flat_spectrum(rng, monkeypatch):
     """spectrum='auto' on a dense matrix whose spectrum is too flat for
     the low-rank path must fall back to the exact full clip instead of
     raising (0.1.0 behaviour)."""
-    from glomargridding_tpu.ops.covariance_tools import (
-        explained_variance_clip,
-    )
+    import glomargridding_tpu.ops.covariance_tools as ct
 
+    # drop the auto threshold so n=300 genuinely takes the PARTIAL
+    # path first (the branch under test), then falls back
+    monkeypatch.setattr(ct, "_AUTO_PARTIAL_THRESHOLD", 100)
     n = 300
     cov = np.eye(n) + 1e-3 * np.ones((n, n))  # near-flat spectrum
-    out = explained_variance_clip(
+    out = ct.explained_variance_clip(
         cov, target_variance_fraction=0.99, spectrum="auto",
         k0=8, max_rank=16,  # forces the partial path to give up
     )
     assert np.isclose(np.trace(out), np.trace(cov), rtol=1e-8)
-    # explicit "partial" must still raise
+    # explicit "partial" must still raise the typed non-convergence
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="max_rank"):
-        explained_variance_clip(
+    with _pytest.raises(ct.PartialSpectrumError, match="max_rank"):
+        ct.explained_variance_clip(
             cov, target_variance_fraction=0.99, spectrum="partial",
             k0=8, max_rank=16,
+        )
+    # an unrelated argument error must NOT be swallowed by the fallback
+    with _pytest.raises(ValueError, match="k must be >= 1"):
+        ct.explained_variance_clip(
+            cov, target_variance_fraction=0.99, spectrum="auto", k0=0
         )
 
 
