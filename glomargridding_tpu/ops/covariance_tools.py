@@ -30,9 +30,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utils.arrays import cor_2_cov, cov_2_cor
-from .eigsh import topk_eigh
+from .eigsh import PartialSpectrumError, adaptive_topk_eigh
 
 logger = logging.getLogger(__name__)
+
+__all_errors__ = (PartialSpectrumError,)  # re-exported for API stability
 
 # Above this size "auto" clips switch from the full spectrum to the
 # randomized top-k path: host LAPACK eigh is O(n^3) single-threaded
@@ -40,10 +42,10 @@ logger = logging.getLogger(__name__)
 # spectrum + the trace.
 _AUTO_PARTIAL_THRESHOLD = 4096
 
-
-class PartialSpectrumError(ValueError):
-    """The adaptive partial-spectrum clip hit max_rank without
-    converging (spectrum too flat for a low-rank clip)."""
+# Above this size the parity wrappers refuse to densify a partial-clip
+# result: an (n, n) f32 materialisation at 65k is ~17 GB — exactly the
+# allocation the factored path exists to avoid.
+_DENSIFY_GUARD = 32768
 
 
 def check_symmetric(a, rtol: float = 1e-5, atol: float = 1e-8) -> bool:
@@ -221,6 +223,12 @@ class LowRankPSD:
         return int(self.vectors.shape[1])
 
     @property
+    def effective_rank(self) -> int:
+        """Columns carrying non-zero gain (excludes shape padding from
+        ``rank_multiple`` / ``pad_rank``)."""
+        return int(np.asarray(jnp.sum(self.gains > 0)))
+
+    @property
     def shape(self) -> tuple[int, int]:
         return (self.n, self.n)
 
@@ -283,34 +291,13 @@ class LowRankPSD:
 
 
 def _adaptive_topk(matvec, n, accept, k0, max_rank, **topk_kwargs):
-    """Double k until `accept(w)` finds the needed leading pairs within
-    the well-converged HALF of the computed Ritz values.
-
-    The boundary pair's accuracy is governed by the spectral ratio
-    lambda_{k+p} / lambda_r, so acceptance requires r <= k // 2: the
-    effective oversampling then scales with the retained rank itself,
-    which keeps the clip LAPACK-accurate on decaying spectra (pinned by
-    tests at 2048 vs full eigh and 16,384 vs an analytic operator).
-    """
-    k = min(n, k0)
-    while True:
-        w, V = topk_eigh(matvec, k, n, **topk_kwargs)
-        r = accept(w)
-        if r is None and k >= n:
-            # full spectrum computed and the target still not strictly
-            # exceeded (float roundoff at target ~ trace): retaining
-            # everything is exact
-            r = k
-        if r is not None and (r <= k // 2 or k >= n):
-            return w, V, r
-        if k >= min(n, max_rank):
-            raise PartialSpectrumError(
-                "Partial-spectrum clip did not converge within "
-                f"max_rank={max_rank} eigenpairs — the spectrum is too "
-                "flat for a low-rank clip; lower the target or use "
-                "spectrum='full'."
-            )
-        k = min(n, min(max_rank, 2 * k))
+    """Find the retained rank a clip needs (``ops.eigsh``
+    :func:`adaptive_topk_eigh`): residual-certified early acceptance at
+    width ~ r + oversample, the round-2 ``r <= k // 2`` structural rule
+    as the provable fallback, warm-started widening."""
+    return adaptive_topk_eigh(
+        matvec, accept, n, k0=k0, max_rank=max_rank, **topk_kwargs
+    )
 
 
 def explained_variance_clip_lowrank(
@@ -324,6 +311,8 @@ def explained_variance_clip_lowrank(
     max_rank: int = 2048,
     oversample: int = 8,
     n_iter: int = 6,
+    tol: float | None = None,
+    rank_multiple: int = 1,
     dtype=None,
 ) -> LowRankPSD:
     """Trace-preserving explained-variance clip WITHOUT the full spectrum.
@@ -368,6 +357,8 @@ def explained_variance_clip_lowrank(
         key=key,
         oversample=oversample,
         n_iter=n_iter,
+        tol=tol,
+        rank_multiple=rank_multiple,
         dtype=dtype,
     )
     retained = w[:r]
@@ -392,10 +383,15 @@ def explained_variance_clip_lowrank(
     # re-normalise the retained columns: the solver's wide basis is
     # only ~1e-3 orthonormal in f32 when the operator's numerical rank
     # is below the iteration width, and tr(W g W') depends directly on
-    # the column norms (trace preservation would silently degrade)
-    vecs = V[:, :r]
-    vecs = vecs / jnp.sqrt(jnp.sum(vecs**2, axis=0))[None, :]
-    gains = jnp.maximum(jnp.asarray(retained - avg, vecs.dtype), 0.0)
+    # the column norms (trace preservation would silently degrade).
+    # V may be rank_multiple-padded (stable compiled shapes across
+    # months); padding columns get zero gain, built HOST-side so no
+    # device program depends on the exact rank r.
+    vecs = V / jnp.sqrt(jnp.sum(V**2, axis=0))[None, :]
+    rp = int(V.shape[1])
+    g_host = np.zeros(rp, dtype=np.float64)
+    g_host[:r] = np.maximum(np.asarray(retained, np.float64) - avg, 0.0)
+    gains = jnp.asarray(g_host, vecs.dtype)
     floor = jnp.full((n,), avg, vecs.dtype)
     return LowRankPSD(vectors=vecs, gains=gains, floor=floor)
 
@@ -412,6 +408,8 @@ def laloux_clip_lowrank(
     max_rank: int = 2048,
     oversample: int = 8,
     n_iter: int = 6,
+    tol: float | None = None,
+    rank_multiple: int = 1,
     dtype=None,
 ) -> LowRankPSD:
     """RMT (Laloux 2000) clip without the full spectrum.
@@ -463,6 +461,8 @@ def laloux_clip_lowrank(
         key=key,
         oversample=oversample,
         n_iter=n_iter,
+        tol=tol,
+        rank_multiple=rank_multiple,
         dtype=dtype,
     )
     retained = w[:r]
@@ -473,11 +473,14 @@ def laloux_clip_lowrank(
             "aspect-ratio threshold retained too much variance."
         )
     # unit-normalise the correlation eigenvectors before the sqrt(diag)
-    # scaling (see explained_variance_clip_lowrank)
-    Vr = V[:, :r]
-    Vr = Vr / jnp.sqrt(jnp.sum(Vr**2, axis=0))[None, :]
+    # scaling (see explained_variance_clip_lowrank); V may be
+    # rank_multiple-padded — zero gains on the padding columns
+    Vr = V / jnp.sqrt(jnp.sum(V**2, axis=0))[None, :]
     vecs = d[:, None] * Vr
-    gains = jnp.maximum(jnp.asarray(retained - avg, vecs.dtype), 0.0)
+    rp = int(V.shape[1])
+    g_host = np.zeros(rp, dtype=np.float64)
+    g_host[:r] = np.maximum(np.asarray(retained, np.float64) - avg, 0.0)
+    gains = jnp.asarray(g_host, vecs.dtype)
     floor = avg * diag.astype(vecs.dtype)
     return LowRankPSD(vectors=vecs, gains=gains, floor=floor)
 
@@ -521,6 +524,14 @@ def explained_variance_clip(
     "partial" (randomized top-k — the only path that scales past ~10k),
     or "auto" (partial above n=4096). Both return the same matrix to
     solver accuracy (pinned by tests).
+
+    Return-type contract: for a DENSE input up to n=32768 the repaired
+    matrix comes back dense (reference parity). For a CALLABLE operator,
+    or a dense input past that guard, the result is the factored
+    :class:`LowRankPSD` — densifying it would allocate the n x n array
+    (~17 GB at 65k) that the matvec path exists to avoid; call
+    ``.to_dense()`` explicitly if the allocation is truly wanted, or use
+    :func:`explained_variance_clip_lowrank` directly.
     (Parity: reference ``covariance_tools.py:633-728``.)
     """
     n = _shape0(cov) if not callable(cov) else None
@@ -531,6 +542,13 @@ def explained_variance_clip(
                 target_variance_fraction=target_variance_fraction,
                 **partial_kwargs,
             )
+            if callable(cov) or n > _DENSIFY_GUARD:
+                logger.info(
+                    "returning factored LowRankPSD (callable or "
+                    "n > %d): densify explicitly with .to_dense()",
+                    _DENSIFY_GUARD,
+                )
+                return lr
             return lr.to_dense()
         except PartialSpectrumError:
             # spectrum too flat for a low-rank clip: under "auto" a
@@ -564,7 +582,10 @@ def laloux_clip(
 
     Standardise to correlation, clip eigenvalues below the random-matrix
     ceiling (1 + sqrt(q))^2, rescale back to covariance with the original
-    variances. ``spectrum`` as in :func:`explained_variance_clip`.
+    variances. ``spectrum`` as in :func:`explained_variance_clip`,
+    including the return-type contract: callable operators and dense
+    inputs past n=32768 come back as the factored :class:`LowRankPSD`
+    (never an implicit n x n materialisation).
     (Parity: reference ``covariance_tools.py:519-630``.)
     """
     n = _shape0(cov) if not callable(cov) else None
@@ -576,6 +597,13 @@ def laloux_clip(
                 num_time_pts=num_time_pts,
                 **partial_kwargs,
             )
+            if callable(cov) or n > _DENSIFY_GUARD:
+                logger.info(
+                    "returning factored LowRankPSD (callable or "
+                    "n > %d): densify explicitly with .to_dense()",
+                    _DENSIFY_GUARD,
+                )
+                return lr
             return lr.to_dense()
         except PartialSpectrumError:
             if callable(cov) or spectrum != "auto":

