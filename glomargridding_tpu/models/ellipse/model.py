@@ -302,6 +302,35 @@ class EllipseModel:
         """
         return self.nll(params, X, y, weights=weights)
 
+    def _residuals_fit(self, params, X, y, weights):
+        r"""Weighted Fisher-z residuals: sqrt(w) (z(y) - z(model(X))).
+
+        The NLL is exactly ``sum w [z_j^2 / (2 sigma^2) + log sigma]``
+        with z the arctanh (Fisher) transform — weighted least squares
+        in z-space. The scale sigma profiles out monotonically
+        (sigma_hat^2 = sum w r^2 / sum w), so minimising
+        ``0.5 * sum(residual^2)`` recovers the SAME (Lx, Ly, theta)
+        optimum as the joint NLL, for both unit_sigma settings. This is
+        the objective for ``ops.optim.batched_levenberg_marquardt`` —
+        a bound method so the jitted batched fit compiles once per
+        model instance (see ``_nll_fit``). Masking follows ``nll``:
+        masked displacements are sanitised BEFORE the kernel so
+        gradients stay NaN-free.
+        """
+        X = jnp.asarray(X)
+        y = jnp.asarray(y)
+        wmask = weights > 0
+        wsel = wmask[..., None] if X.ndim == weights.ndim + 1 else wmask
+        X = jnp.where(wsel, X, jnp.ones_like(X))
+        y_ll = self._model_correlation(X, params)
+        y_ll = jnp.where(wmask, y_ll, 0.0)
+        y = jnp.where(wmask, y, 0.0)
+        y_ll = jnp.nan_to_num(y_ll, nan=0.0)
+        y = jnp.clip(y, -ARCTANH_THRESHOLD, ARCTANH_THRESHOLD)
+        y_ll = jnp.clip(y_ll, -ARCTANH_THRESHOLD, ARCTANH_THRESHOLD)
+        r = jnp.arctanh(y) - jnp.arctanh(y_ll)
+        return jnp.sqrt(weights) * r
+
     def nll(self, params, X, y, weights=None, arctanh_transform: bool = True):
         """Masked negative log-likelihood (traceable core).
 

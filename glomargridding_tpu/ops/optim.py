@@ -268,3 +268,127 @@ def batched_nelder_mead(
         )
 
     return jax.vmap(solve_one)(x0, *args)
+
+
+# ===========================================================================
+# Batched Levenberg-Marquardt (least-squares MLE lane)
+# ===========================================================================
+@partial(
+    jax.jit,
+    static_argnames=("res_fun", "maxiter", "ftol", "xtol"),
+)
+def batched_levenberg_marquardt(
+    res_fun,
+    x0,
+    args,
+    bounds,
+    maxiter: int = 100,
+    ftol: float = 1e-9,
+    xtol: float = 1e-8,
+) -> NMResult:
+    r"""Batched damped Gauss-Newton over independent least-squares fits.
+
+    The ellipse NLL is exactly weighted least squares in Fisher-z space
+    (``EllipseModel._residuals_fit``), so instead of a derivative-free
+    simplex walking ~10^2-10^3 evaluations per fit, each iteration
+    solves the local quadratic model from one forward-mode Jacobian
+    (d ~ 3 passes) plus one trial evaluation — typically ~20 iterations
+    to the same optimum. The loop is written DIRECTLY over the batch
+    dimension (no vmap-of-while): per-lane damping and per-lane
+    freezing are plain elementwise selects, so nothing lockstep-stalls
+    on a slow linesearch lane (the failure mode that made the vmapped
+    L-BFGS 4x slower than NM, ``docs/perf.md``).
+
+    ``res_fun(x_i, *args_i) -> (m,)`` residual vector of one problem;
+    minimises ``0.5 * sum(res^2)`` per lane. `x0` is (B, d); each
+    element of `args` has leading batch dim B; `bounds` is a shared
+    (lo, hi) pair of (d,) arrays — trial steps are clipped into the box
+    (same semantics as the batched Nelder-Mead). Returns NMResult with
+    ``fun = 0.5 * sse``, per-lane ``nit`` (accepted+rejected steps) and
+    ``success`` (converged before maxiter).
+
+    Levenberg damping uses Fletcher's diagonal scaling
+    ``(J'J + lam * diag(J'J)) delta = -J'r`` so the step is invariant
+    to parameter scaling (km-scale ranges vs radian-scale angles in one
+    solve). Lanes converge when an accepted step improves the SSE by
+    < ftol relatively or moves < xtol relatively, or when damping
+    saturates (no descent direction left).
+    """
+    x0 = jnp.asarray(x0)
+    B, d = x0.shape
+    lo = jnp.asarray(bounds[0], x0.dtype)
+    hi = jnp.asarray(bounds[1], x0.dtype)
+
+    def sse_one(x, *a):
+        r = res_fun(x, *a)
+        return 0.5 * jnp.sum(r * r)
+
+    def rj_one(x, *a):
+        return res_fun(x, *a), jax.jacfwd(res_fun)(x, *a)
+
+    sse_all = jax.vmap(sse_one)
+    rj_all = jax.vmap(rj_one)
+
+    tiny = jnp.asarray(jnp.finfo(x0.dtype).tiny, x0.dtype)
+    lam_max = jnp.asarray(1e10, x0.dtype)
+
+    def cond(state):
+        _, _, _, conv, _, n_any = state
+        return (~jnp.all(conv)) & (n_any < maxiter)
+
+    def body(state):
+        x, sse, lam, conv, nit, n_any = state
+        r, J = rj_all(x, *args)  # (B, m), (B, m, d)
+        g = jnp.einsum("bmd,bm->bd", J, r)
+        A = jnp.einsum("bmd,bme->bde", J, J)
+        diagA = jnp.diagonal(A, axis1=1, axis2=2)
+        # scale floor keeps zero-data lanes (all-masked residuals)
+        # solvable: delta collapses to 0 and the lane converges
+        scale = jnp.maximum(diagA, 1e-12)
+        M = A + (lam[:, None] * scale)[:, None, :] * jnp.eye(d, dtype=x.dtype)
+        delta = -jnp.linalg.solve(M, g[..., None])[..., 0]
+        x_trial = jnp.clip(x + delta, lo, hi)
+        sse_trial = sse_all(x_trial, *args)
+
+        better = sse_trial < sse
+        accept = better & ~conv
+        step = x_trial - x
+        rel_impr = (sse - sse_trial) / jnp.maximum(sse, tiny)
+        step_small = (
+            jnp.max(
+                jnp.abs(step) / jnp.maximum(jnp.abs(x), 1.0), axis=1
+            )
+            < xtol
+        )
+        newly_conv = (accept & ((rel_impr < ftol) | step_small)) | (
+            (~better) & (lam >= lam_max) & ~conv
+        )
+
+        new_x = jnp.where(accept[:, None], x_trial, x)
+        new_sse = jnp.where(accept, sse_trial, sse)
+        new_lam = jnp.where(
+            conv,
+            lam,
+            jnp.clip(
+                jnp.where(better, lam / 3.0, lam * 4.0), 1e-12, lam_max
+            ),
+        )
+        return (
+            new_x,
+            new_sse,
+            new_lam,
+            conv | newly_conv,
+            nit + (~conv).astype(nit.dtype),
+            n_any + 1,
+        )
+
+    sse0 = sse_all(x0, *args)
+    lam0 = jnp.full((B,), 1e-3, x0.dtype)
+    conv0 = jnp.zeros((B,), bool)
+    nit0 = jnp.zeros((B,), jnp.int32)
+    x, sse, lam, conv, nit, _ = lax.while_loop(
+        cond,
+        body,
+        (x0, sse0, lam0, conv0, nit0, jnp.asarray(0)),
+    )
+    return NMResult(x, sse, nit, conv)

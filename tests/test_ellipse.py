@@ -812,3 +812,35 @@ def test_operator_recreation_hits_jit_cache(rng):
     after_second = _operator_build._cache_size()
     assert after_first == before + 1
     assert after_second == after_first  # warm re-creation: no retrace
+
+
+def test_compute_params_lm_matches_nm(rng):
+    """Levenberg-Marquardt on the Fisher-z least-squares form lands on
+    the same optima as Nelder-Mead (round-3 throughput lane)."""
+    builder, lats, lons = _synthetic_builder(rng, size=(6, 8), n=2000)
+    model = EllipseModel(
+        anisotropic=True, rotated=True, physical_distance=True,
+        v=0.5, unit_sigma=True,
+    )
+    kwargs = dict(
+        default_value=[-999.0] * model.supercategory_n_params,
+        matern_ellipse=model,
+        max_distance=8000.0,
+        guesses=[500.0, 500.0, 0.0],
+        bounds=[(100.0, 20000.0), (100.0, 20000.0),
+                (-2 * np.pi, 2 * np.pi)],
+        delta_x_method="Modified_Met_Office",
+    )
+    p_nm = builder.compute_params(tol=1e-5, **kwargs)
+    p_lm = builder.compute_params(tol=1e-8, opt_method="lm", **kwargs)
+    sel = p_nm["Lx"].values > 0
+    np.testing.assert_allclose(
+        p_lm["Lx"].values[sel], p_nm["Lx"].values[sel], rtol=0.05
+    )
+    np.testing.assert_allclose(
+        p_lm["Ly"].values[sel], p_nm["Ly"].values[sel], rtol=0.05
+    )
+    # LM must actually converge (QC != 9) wherever NM did
+    qc_nm = p_nm["qc_code"].values[sel]
+    qc_lm = p_lm["qc_code"].values[sel]
+    assert (qc_lm[qc_nm != 9] != 9).all()
