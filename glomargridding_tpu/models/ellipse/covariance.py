@@ -32,6 +32,7 @@ import numpy as np
 
 from ...constants import RADIUS_OF_EARTH_KM
 from ...ops.distances import sigma_rot_flat
+from ...ops.sampling import Matvec
 from ...ops.special import kv
 from ...types import CovarianceMethod, DeltaXMethod
 
@@ -456,7 +457,11 @@ def ellipse_covariance_operator(
     one chip: a dense f32 covariance is ~17 GB (> HBM), but the
     device-scale PSD repair (``explained_variance_clip_lowrank``) and
     the low-rank solvers only ever need ``cov @ X``. Returns
-    ``(matvec, n, trace)`` ready to feed the clip.
+    ``(matvec, n, trace)`` ready to feed the clip; ``matvec`` is an
+    ``ops.sampling.Matvec`` (a callable that splits into a static fn +
+    array operands), so jit consumers like ``chebyshev_apply`` /
+    ``estimate_spectral_range`` pass the store as an argument instead
+    of lowering it as an 8.4 GB program constant.
 
     store="bf16" (default): assemble once, block-by-block, into a
     HALF-memory bf16 matrix (65k^2 = 8.4 GB) with the exactly-known
@@ -526,27 +531,18 @@ def ellipse_covariance_operator(
     kparams = (v, delta_x_method, md, use_md)
 
     if store == "stream":
-
-        def matvec(x):
-            x2 = x if x.ndim == 2 else x[:, None]
-            out = _operator_apply_stream(
-                rows, cols, diag, x2.astype(jnp.float32), kparams, n
-            )
-            return out if x.ndim == 2 else out[:, 0]
-
+        fn = _STREAM_MV_BY_KEY.setdefault(
+            (kparams, n), partial(_stream_apply_nd, kparams, n)
+        )
+        matvec = Matvec(fn, *rows, *cols, diag)
         return matvec, n, trace
 
     if store != "bf16":
         raise ValueError(f"Unknown store: {store!r}")
 
     A = _operator_build(rows, cols, kparams)
-
-    def matvec(x):
-        x2 = x if x.ndim == 2 else x[:, None]
-        out = _operator_apply_bf16(A, diag, x2.astype(jnp.float32), n)
-        return out if x.ndim == 2 else out[:, 0]
-
-    return matvec, n, trace
+    fn = _BF16_MV_BY_N.setdefault(n, partial(_bf16_apply_nd, n))
+    return Matvec(fn, A, diag), n, trace
 
 
 def _op_tile(row_inputs, cols, kparams):
@@ -574,6 +570,40 @@ def _operator_build(rows, cols, kparams):
     # OOM at 65k); the matvec batches over the leading axis instead
     # and reshapes only its small output.
     return A
+
+
+def _bf16_apply_nd(n, A, diag, x):
+    """ndim-polymorphic bf16-store application (``Matvec`` fn slot).
+
+    A module-level function memoised per n (``_BF16_MV_BY_N``): as a
+    ``Matvec.fn`` it hashes stably across operator re-creations, and
+    the 8.4 GB store travels as a jit ARGUMENT of whatever consumer
+    traces it (``chebyshev_apply``, ``estimate_spectral_range``, the
+    clip) — never a lowered program constant (ADVICE r2: a bare
+    closure here would embed the store and OOM/devicesync on trace).
+    """
+    x2 = x if x.ndim == 2 else x[:, None]
+    out = _operator_apply_bf16(A, diag, x2.astype(jnp.float32), n)
+    return out if x.ndim == 2 else out[:, 0]
+
+
+_BF16_MV_BY_N: dict = {}
+
+
+def _stream_apply_nd(kparams, n, *args):
+    """ndim-polymorphic streamed application (``Matvec`` fn slot)."""
+    *arrs, x = args
+    rows = tuple(arrs[:5])
+    cols = tuple(arrs[5:10])
+    diag = arrs[10]
+    x2 = x if x.ndim == 2 else x[:, None]
+    out = _operator_apply_stream(
+        rows, cols, diag, x2.astype(jnp.float32), kparams, n
+    )
+    return out if x.ndim == 2 else out[:, 0]
+
+
+_STREAM_MV_BY_KEY: dict = {}
 
 
 @partial(jax.jit, static_argnames=("n",))

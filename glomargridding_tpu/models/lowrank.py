@@ -54,6 +54,39 @@ class LowRankKrigingResult(NamedTuple):
     constraint_mask: jax.Array
 
 
+def check_idx_unique(idx, error_cov=None, pad_error: float = 1e6):
+    """Warn when observation grid indices repeat with real weight.
+
+    The factored observation system builds its floor term as
+    ``diag(f_o)``, which omits the floor coupling f_j on OFF-diagonal
+    entries between two observations sharing a grid cell — genuinely
+    duplicated station indices would give a silently-wrong K vs the
+    dense OrdinaryKriging path. Duplicates whose error-covariance
+    diagonal is huge (the ``pad_month_observations`` convention places
+    all dummy obs at grid index 0 with pad_error ~1e8, suppressing
+    their weights) are exempt. Host-side check on the SMALL (m,) index
+    array; public low-rank entry points call it once per solve.
+    """
+    import numpy as np
+    from warnings import warn
+
+    idx_h = np.asarray(idx)
+    if error_cov is not None:
+        ediag = np.asarray(jnp.diagonal(jnp.asarray(error_cov)))
+        idx_h = idx_h[ediag < pad_error]
+    uniq, counts = np.unique(idx_h, return_counts=True)
+    n_dup = int((counts > 1).sum())
+    if n_dup:
+        warn(
+            f"{n_dup} grid cell(s) carry multiple observations with "
+            "non-pad error: the factored observation system drops the "
+            "floor coupling between duplicates and will diverge from "
+            "the dense OrdinaryKriging path. Merge duplicate "
+            "observations per cell (or inflate their error) first."
+        )
+    return n_dup == 0
+
+
 def _factor_and_field(V, g, f, E, idx, y):
     """Shared ordinary-kriging core off the factors: one Cholesky of
     K = C_obs + E drives the field and the Lagrange diagnostics.
@@ -179,6 +212,7 @@ def lowrank_kriging(
     """
     y = jnp.asarray(obs, psd.vectors.dtype)
     E = jnp.asarray(error_cov, psd.vectors.dtype)
+    check_idx_unique(idx, E)
     field, uncert2, cmask, _ = _lowrank_solve(
         psd.vectors,
         psd.gains,
@@ -217,6 +251,7 @@ def lowrank_ensemble_step(
     """
     y = jnp.asarray(obs, psd.vectors.dtype)
     E = jnp.asarray(error_cov, psd.vectors.dtype)
+    check_idx_unique(idx, E)
     field, uncert2, cmask, members = _lowrank_solve(
         psd.vectors,
         psd.gains,

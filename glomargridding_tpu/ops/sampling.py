@@ -172,9 +172,18 @@ def kernel_matvec(kernel_fn, lats_rad, lons_rad, n_blocks: int = 16):
     lo = jnp.concatenate([lons_rad, jnp.zeros((pad,), lons_rad.dtype)])
     la_b = la.reshape(n_blocks, block)
     lo_b = lo.reshape(n_blocks, block)
-    return Matvec(
-        partial(_kernel_mv, kernel_fn, m), la_b, lo_b, lats_rad, lons_rad
+    # Memoised per (kernel_fn, m): ``partial`` hashes by identity, so a
+    # fresh wrapper per call would retrace every consumer that jits
+    # with the fn static (chebyshev_apply, estimate_spectral_range) on
+    # each operator re-creation — the same reason _DENSE_MV_BY_DTYPE
+    # exists for the dense path.
+    fn = _KERNEL_MV_BY_KEY.setdefault(
+        (kernel_fn, m), partial(_kernel_mv, kernel_fn, m)
     )
+    return Matvec(fn, la_b, lo_b, lats_rad, lons_rad)
+
+
+_KERNEL_MV_BY_KEY: dict = {}
 
 
 def estimate_spectral_range(

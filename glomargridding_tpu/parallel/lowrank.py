@@ -33,6 +33,31 @@ from ..models.lowrank import LowRankKrigingResult, _lowrank_solve_impl
 from ..ops.covariance_tools import LowRankPSD
 
 
+_SOLVE_JIT_BY_MESH: dict = {}
+
+
+def _sharded_solve_fn(mesh):
+    """One jitted sharded solve per mesh, cached.
+
+    A fresh ``jax.jit`` wrapper owns a fresh trace cache, so building
+    one inside every call would retrace (and maybe recompile) the
+    solve on each monthly invocation — defeating the compile-cache
+    discipline ``LowRankPSD.pad_rank`` exists for. ``Mesh`` is
+    hashable, so the wrapper is memoised per mesh.
+    """
+    fn = _SOLVE_JIT_BY_MESH.get(mesh)
+    if fn is None:
+        vec = NamedSharding(mesh, P("grid"))
+        mem = NamedSharding(mesh, P("ens", "grid"))
+        fn = jax.jit(
+            _lowrank_solve_impl,
+            static_argnames=("n_members",),
+            out_shardings=(vec, vec, vec, mem),
+        )
+        _SOLVE_JIT_BY_MESH[mesh] = fn
+    return fn
+
+
 def _put(mesh, psd, idx, obs, error_cov):
     row = NamedSharding(mesh, P("grid", None))
     vec = NamedSharding(mesh, P("grid"))
@@ -55,13 +80,7 @@ def sharded_lowrank_kriging(
     grid dimension n must be divisible by the ``grid`` axis size.
     """
     V, g, f, idx, y, E = _put(mesh, psd, idx, obs, error_cov)
-    vec = NamedSharding(mesh, P("grid"))
-    mem = NamedSharding(mesh, P("ens", "grid"))
-    fn = jax.jit(
-        _lowrank_solve_impl,
-        static_argnames=("n_members",),
-        out_shardings=(vec, vec, vec, mem),
-    )
+    fn = _sharded_solve_fn(mesh)
     field, uncert2, cmask, _ = fn(
         V, g, f, E, idx, y, jax.random.key(0), 0
     )
@@ -90,13 +109,7 @@ def sharded_lowrank_ensemble_step(
     bit-for-bit up to reduction order.
     """
     V, g, f, idx, y, E = _put(mesh, psd, idx, obs, error_cov)
-    vec = NamedSharding(mesh, P("grid"))
-    mem = NamedSharding(mesh, P("ens", "grid"))
-    fn = jax.jit(
-        _lowrank_solve_impl,
-        static_argnames=("n_members",),
-        out_shardings=(vec, vec, vec, mem),
-    )
+    fn = _sharded_solve_fn(mesh)
     field, uncert2, cmask, members = fn(
         V, g, f, E, idx, y, key, int(n_members)
     )
