@@ -200,14 +200,52 @@ def bench_pallas_ellipse(n=16384):
     return out
 
 
+def realistic_ellipse_params(glat, glon):
+    """Rough heterogeneous ellipse fields matching the 1-degree MLE
+    pipeline's difficulty: base scales ~900-1800 km with O(30%)
+    spatially-correlated log-variation, so the 0.90 clip retains rank
+    ~850 at 65k (the round-2 recorded field was a smooth cos(lat)
+    polynomial whose clip retained only 156 — a flatteringly easy
+    workload, VERDICT r2 weak #2)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(42)
+    la = np.radians(np.asarray(glat))
+    lo = np.radians(np.asarray(glon))
+
+    def rough(ncomp, scale):
+        out = np.zeros_like(la)
+        for _ in range(ncomp):
+            k1, k2 = rng.integers(1, 7, size=2)
+            s1, s2 = rng.choice([-1.0, 1.0], size=2)
+            ph = rng.uniform(0, 2 * np.pi)
+            amp = rng.normal()
+            out += amp * np.sin(s1 * k1 * la + s2 * k2 * lo + ph)
+        out /= np.sqrt(ncomp)
+        return scale * out
+
+    coslat = np.cos(la)
+    Lx = (900.0 + 600.0 * coslat**2) * np.exp(0.35 * rough(12, 1.0))
+    Ly = (600.0 + 300.0 * coslat) * np.exp(0.35 * rough(12, 1.0))
+    theta = 0.4 * rough(12, 1.0)
+    stdev = (0.8 + 0.4 * coslat) * np.exp(0.25 * rough(12, 1.0))
+    return (
+        jnp.asarray(Lx, jnp.float32),
+        jnp.asarray(Ly, jnp.float32),
+        jnp.asarray(theta, jnp.float32),
+        jnp.asarray(stdev, jnp.float32),
+    )
+
+
 def bench_lowrank_65k():
-    """The round-2 headline: full-globe non-stationary pipeline warm.
+    """Full-globe non-stationary pipeline, realistic spectrum, warm.
 
     bf16 covariance operator (8.4 GB store, no f32 dense matrix) ->
-    matvec-only trace-preserving PSD repair -> factored two-stage
-    100-member ensemble; everything through public API. Each stage is
-    timed WARM (second dispatch) with an honest scalar-fetch sync.
-    TPU only (the 8.4 GB store needs real HBM).
+    matvec-only trace-preserving PSD repair (adaptive residual-gated
+    eigensolver, rank_multiple=128 for stable compiled shapes) ->
+    factored two-stage 100-member ensemble; everything through public
+    API. Each stage is timed WARM (second dispatch) with an honest
+    scalar-fetch sync. TPU only (the 8.4 GB store needs real HBM).
     """
     import jax
 
@@ -227,11 +265,7 @@ def bench_lowrank_65k():
 
     glat, glon, idx, y, err_cov = build_inputs()
     n = glat.shape[0]
-    coslat = jnp.cos(jnp.radians(glat))
-    Lx = 2000.0 + 1500.0 * coslat**2
-    Ly = 1500.0 + 600.0 * coslat
-    theta = 0.3 * jnp.sin(jnp.radians(2.0 * glat))
-    stdev = 0.6 + 0.5 * coslat
+    Lx, Ly, theta, stdev = realistic_ellipse_params(glat, glon)
     la = jnp.radians(glat)
     lo = jnp.radians(glon)
     s00, s01, _, s11 = sigma_rot_flat(Lx, Ly, theta)
@@ -257,7 +291,8 @@ def bench_lowrank_65k():
         psd = explained_variance_clip_lowrank(
             mv, n=n_op, trace=trace,
             target_variance_fraction=0.90,
-            key=key, k0=2048, max_rank=4096, n_iter=4,
+            key=key, k0=1024, max_rank=4096, n_iter=4,
+            rank_multiple=128,
         )
         float(psd.vectors[0, 0])
         return psd
@@ -266,7 +301,11 @@ def bench_lowrank_65k():
     t0 = time.perf_counter()
     psd = clip(jax.random.key(2))  # warm
     out["clip_s"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    psd = clip(jax.random.key(5))  # second warm (rank jitter check)
+    out["clip_s_2"] = round(time.perf_counter() - t0, 3)
     out["rank"] = psd.rank
+    out["effective_rank"] = psd.effective_rank
     psd = psd.pad_rank(256)
     del mv  # free the 8.4 GB store before the ensemble
 
@@ -285,6 +324,84 @@ def bench_lowrank_65k():
     return out
 
 
+def bench_stream_clip(n_side=128):
+    """Zero-storage streamed operator: matvec + clip at a reduced size.
+
+    Pins the ``store="stream"`` path (the 0.25-degree / 259k-cell
+    configuration where even the bf16 store exceeds HBM) against
+    regressions without the full 259k run: a 16,384-cell operator whose
+    every application rebuilds covariance tiles from the kernel under
+    ``lax.scan``. Records the warm per-application wall and a warm
+    clip through the same adaptive solver.
+    """
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return {"skipped": f"backend={jax.default_backend()}"}
+
+    import jax.numpy as jnp
+
+    from glomargridding_tpu.models.ellipse.covariance import (
+        ellipse_covariance_operator,
+    )
+    from glomargridding_tpu.ops.covariance_tools import (
+        explained_variance_clip_lowrank,
+    )
+    from glomargridding_tpu.ops.distances import sigma_rot_flat
+
+    n = n_side * n_side
+    rng = np.random.default_rng(7)
+    glat = jnp.asarray(
+        rng.uniform(-75.0, 75.0, n).astype(np.float32)
+    )
+    glon = jnp.asarray(
+        rng.uniform(-180.0, 180.0, n).astype(np.float32)
+    )
+    Lx, Ly, theta, stdev = realistic_ellipse_params(glat, glon)
+    la, lo = jnp.radians(glat), jnp.radians(glon)
+    s00, s01, _, s11 = sigma_rot_flat(Lx, Ly, theta)
+    sig = jnp.stack([s00, s01, s11], axis=-1)
+    sqd = jnp.sqrt(s00 * s11 - s01 * s01)
+
+    mv, n_op, trace = ellipse_covariance_operator(
+        la, lo, sig, sqd, stdev, v=1.5, store="stream"
+    )
+    x = jnp.ones((n, 8), jnp.float32)
+    float(mv(x)[0, 0])  # compile
+    t0 = time.perf_counter()
+    float(mv(x)[0, 0])
+    matvec_s = time.perf_counter() - t0
+
+    def clip(key):
+        psd = explained_variance_clip_lowrank(
+            mv, n=n_op, trace=trace,
+            target_variance_fraction=0.90,
+            key=key, k0=512, max_rank=2048, n_iter=4,
+            rank_multiple=128,
+        )
+        float(psd.vectors[0, 0])
+        return psd
+
+    clip(jax.random.key(1))  # compile
+    t0 = time.perf_counter()
+    psd = clip(jax.random.key(2))
+    return {
+        "n": n,
+        "matvec8_s": round(matvec_s, 4),
+        "clip_s": round(time.perf_counter() - t0, 3),
+        "rank": psd.rank,
+        "effective_rank": psd.effective_rank,
+    }
+
+
+def bench_reference_trio():
+    """BASELINE.md's three published reference numbers, warm, via
+    ``bench_reference_configs.run()`` on the vendored workflow data."""
+    from bench_reference_configs import run
+
+    return run()
+
+
 def _run_once():
     kriging_s = bench_kriging()
     ensemble_s = bench_ensemble()
@@ -293,6 +410,17 @@ def _run_once():
 
 
 def main():
+    import jax
+
+    # persistent compile cache: repeat driver runs (and the monthly
+    # production pattern) skip the 20-120 s XLA compiles
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir", "/tmp/glomar_jaxcache"
+        )
+    except Exception:
+        pass
+
     # The remote-device link can fault transiently; one retry protects
     # the recorded metric.
     try:
@@ -301,10 +429,16 @@ def main():
         time.sleep(20)
         kriging_s, ensemble_s, pallas = _run_once()
 
-    try:
-        lowrank = bench_lowrank_65k()
-    except Exception as e:  # never let the extra block kill the metric
-        lowrank = {"skipped": f"{type(e).__name__}: {e}"[:120]}
+    extras = {}
+    for name, fn in (
+        ("nonstationary_65k_lowrank", bench_lowrank_65k),
+        ("reference_configs_5deg", bench_reference_trio),
+        ("stream_16k", bench_stream_clip),
+    ):
+        try:  # never let an extra block kill the headline metric
+            extras[name] = fn()
+        except Exception as e:
+            extras[name] = {"skipped": f"{type(e).__name__}: {e}"[:120]}
 
     baseline_target_s = 10.0
     print(
@@ -321,7 +455,7 @@ def main():
                 "ensemble_members": N_MEMBERS,
                 "draws_per_sec": round(N_MEMBERS / ensemble_s, 1),
                 "pallas_ellipse_16k": pallas,
-                "nonstationary_65k_lowrank": lowrank,
+                **extras,
             }
         )
     )

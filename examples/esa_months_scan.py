@@ -15,7 +15,10 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+try:  # prefer the installed package; fall back to a repo checkout
+    import glomargridding_tpu  # noqa: F401
+except ImportError:
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 
@@ -27,7 +30,27 @@ from glomargridding_tpu.models.kernel_kriging import (
 )
 from glomargridding_tpu.ops.variogram import MaternVariogram
 
-DATA = "/root/reference/notebooks"
+def _data_dir():
+    """Vendored workflow data (examples/data), with the reference
+    notebooks directory as a fallback for older checkouts."""
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    for cand in (
+        os.path.join(here, "data"),
+        os.path.join(here, "examples", "data"),
+        "/root/reference/notebooks",
+    ):
+        if os.path.isdir(cand) and any(
+            f.endswith(".nc") for f in os.listdir(cand)
+        ):
+            return cand
+    raise FileNotFoundError(
+        "workflow data not found: expected .nc files in examples/data"
+    )
+
+
+DATA = _data_dir()
 MONTH = 3
 
 

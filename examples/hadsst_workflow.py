@@ -14,7 +14,7 @@ Pipeline:
   6. Ordinary kriging under both covariances; stochastic (perturbed)
      member via StochasticKriging.
 
-Run: python examples/hadsst_workflow.py  (needs /root/reference/notebooks
+Run: python examples/hadsst_workflow.py  (uses the vendored examples/data inputs
 data; prints stage timings).
 """
 
@@ -25,7 +25,10 @@ import time
 import numpy as np
 import pandas as pd
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+try:  # prefer the installed package; fall back to a repo checkout
+    import glomargridding_tpu  # noqa: F401
+except ImportError:
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from glomargridding_tpu.core.labeled import Coordinates
 from glomargridding_tpu.grid import (
@@ -47,7 +50,27 @@ from glomargridding_tpu.ops.variogram import (
     variogram_to_covariance,
 )
 
-DATA = "/root/reference/notebooks"
+def _data_dir():
+    """Vendored workflow data (examples/data), with the reference
+    notebooks directory as a fallback for older checkouts."""
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    for cand in (
+        os.path.join(here, "data"),
+        os.path.join(here, "examples", "data"),
+        "/root/reference/notebooks",
+    ):
+        if os.path.isdir(cand) and any(
+            f.endswith(".nc") for f in os.listdir(cand)
+        ):
+            return cand
+    raise FileNotFoundError(
+        "workflow data not found: expected .nc files in examples/data"
+    )
+
+
+DATA = _data_dir()
 MONTH, YEAR, MEMBER = 3, 2014, 71
 
 

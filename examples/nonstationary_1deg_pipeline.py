@@ -35,7 +35,10 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+try:  # prefer the installed package; fall back to a repo checkout
+    import glomargridding_tpu  # noqa: F401
+except ImportError:
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp
@@ -141,6 +144,11 @@ def main(small=False):
         ],
         tol=1e-3,
         chunk_size=2048,
+        # damped Gauss-Newton on the exact Fisher-z least-squares form
+        # of the likelihood: same optima as Nelder-Mead (parity pinned
+        # in tests/test_ellipse.py), ~20 iterations instead of
+        # hundreds of simplex steps
+        opt_method="lm",
         # cap each fit's training correlations to its 4096 nearest
         # in-window points: whole-grid cost is n_points x n_cols, and
         # at 1 degree the unrestricted 40k x 40k fit would be ~170x
@@ -176,8 +184,9 @@ def main(small=False):
         cov,
         target_variance_fraction=0.90,
         key=jax.random.key(1),
-        k0=512 if small else 2048,
+        k0=512 if small else 1024,
         max_rank=1536 if small else 4096,
+        rank_multiple=128,
     )
     rel_trace = abs(psd.trace() - float(jnp.trace(cov))) / float(
         jnp.trace(cov)

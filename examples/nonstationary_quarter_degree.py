@@ -29,7 +29,10 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+try:  # prefer the installed package; fall back to a repo checkout
+    import glomargridding_tpu  # noqa: F401
+except ImportError:
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp
@@ -87,7 +90,7 @@ def main():
         mv, n=n_op, trace=trace,
         target_variance_fraction=0.90,
         key=jax.random.key(1),
-        k0=2048, max_rank=4096, n_iter=3,
+        k0=1024, max_rank=4096, n_iter=3, rank_multiple=128,
     )
     true_rank = psd.rank
     psd = psd.pad_rank(256)

@@ -6,7 +6,12 @@ from .kriging import (
     sharded_ordinary_kriging,
 )
 from .kernel_kriging import sharded_kriging_from_kernel
-from .linalg import sharded_cholesky, sharded_triangular_solve
+from .linalg import (
+    sharded_cholesky,
+    sharded_mvn_logpdf,
+    sharded_triangular_solve,
+    sharded_whiten,
+)
 from .ellipse import sharded_ellipse_covariance, sharded_state_draws
 from .lowrank import (
     sharded_lowrank_ensemble_step,
@@ -23,5 +28,7 @@ __all__ = [
     "sharded_ellipse_covariance",
     "sharded_state_draws",
     "sharded_kriging_from_kernel",
+    "sharded_mvn_logpdf",
+    "sharded_whiten",
     "sharded_ordinary_kriging",
 ]

@@ -247,3 +247,52 @@ def sharded_triangular_solve(
     )
     X = jax.jit(mapped)(L_blocks, B)
     return X[:, 0] if squeeze else X
+
+
+_LOG_2PI = 1.8378770664093453
+
+
+def sharded_whiten(mesh, L, X, n_blocks: int | None = None,
+                   axis: str = "grid"):
+    """Whiten fields against a sharded factor: z = L^{-1} X.
+
+    THE production consumer of :func:`sharded_triangular_solve`: with a
+    non-stationary covariance C = L L' too big for one chip (factored
+    once by :func:`sharded_cholesky`), whitening turns correlated
+    fields/residuals into iid N(0, 1) coordinates — standardised
+    residual QC, de-correlation before per-cell statistics, and the
+    quadratic form of every Gaussian score. X may be (n,) or (n, b);
+    the factor never leaves its row-sharded layout.
+    """
+    return sharded_triangular_solve(mesh, L, X, n_blocks, axis)
+
+
+def sharded_mvn_logpdf(mesh, L, x, mean=None, n_blocks: int | None = None,
+                       axis: str = "grid"):
+    r"""log N(x; mean, L L') from the sharded factor, never gathering it.
+
+    .. math::
+        \log p = -\tfrac12 \|L^{-1}(x-\mu)\|^2 - \sum_i \log L_{ii}
+                 - \tfrac{n}{2}\log 2\pi
+
+    The model-selection / cross-validation score for fitted covariances
+    at pod scale (e.g. scoring a month of observed anomalies under
+    competing ellipse parameter fields): one sharded forward solve plus
+    the factor's log-diagonal. `x` may be (n,) for one field or (n, b)
+    for a batch of fields scored under the same factor (the
+    factor-once / solve-many idiom); returns a scalar or (b,) scores.
+    (Capability beyond the reference, which computes dense Gaussian
+    scores only through scipy on one host.)
+    """
+    x = jnp.asarray(x)
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[:, None]
+    if mean is not None:
+        x = x - jnp.asarray(mean).reshape(-1, 1)
+    n = x.shape[0]
+    z = sharded_triangular_solve(mesh, L, x, n_blocks, axis)
+    quad = jnp.sum(z * z, axis=0)
+    logdet = jnp.sum(jnp.log(jnp.diagonal(jnp.asarray(L))))
+    out = -0.5 * quad - logdet - 0.5 * n * _LOG_2PI
+    return out[0] if squeeze else out
