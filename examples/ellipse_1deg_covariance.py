@@ -33,6 +33,9 @@ N_POINTS = 40_000
 
 
 def main():
+    from glomargridding_tpu.config import enable_compile_cache
+
+    enable_compile_cache()  # monthly reruns skip minutes of XLA compile
     rng = np.random.default_rng(0)
     # 1-degree ocean-like point cloud
     lats = rng.uniform(-65.0, 65.0, N_POINTS).astype(np.float32)

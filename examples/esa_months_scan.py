@@ -55,6 +55,9 @@ MONTH = 3
 
 
 def main():
+    from glomargridding_tpu.config import enable_compile_cache
+
+    enable_compile_cache()  # monthly reruns skip minutes of XLA compile
     esa = load_array(
         f"{DATA}/esa_cci_sst_5deg_monthly_1982-2022_{MONTH:02d}.nc",
         "sst_anomaly",

@@ -37,6 +37,7 @@ from glomargridding_tpu.grid import (
     map_to_grid,
 )
 from glomargridding_tpu.io import load_array
+from glomargridding_tpu.config import enable_compile_cache
 from glomargridding_tpu.models.ellipse import (
     EllipseBuilder,
     EllipseCovarianceBuilder,
@@ -49,6 +50,9 @@ from glomargridding_tpu.ops.variogram import (
     MaternVariogram,
     variogram_to_covariance,
 )
+
+enable_compile_cache()  # monthly reruns skip minutes of XLA compile
+
 
 def _data_dir():
     """Vendored workflow data (examples/data), with the reference

@@ -60,6 +60,9 @@ def kernel_block(la1, lo1, la2, lo2):
 
 
 def main():
+    from glomargridding_tpu.config import enable_compile_cache
+
+    enable_compile_cache()  # monthly reruns skip minutes of XLA compile
     lat = jnp.arange(-89.5, 90.0, 180.0 / M_LAT, dtype=jnp.float32)
     lon = jnp.arange(-179.5, 180.0, 360.0 / M_LON, dtype=jnp.float32)
     la = jnp.radians(jnp.repeat(lat, M_LON))

@@ -84,6 +84,9 @@ def ocean_mask(lats, lons):
 
 
 def main(small=False):
+    from glomargridding_tpu.config import enable_compile_cache
+
+    enable_compile_cache()  # monthly reruns skip minutes of XLA compile
     deg = 4.0 if small else 1.0
     lats = np.arange(-90 + deg / 2, 90, deg, dtype=np.float32)
     lons = np.arange(-180 + deg / 2, 180, deg, dtype=np.float32)
@@ -144,11 +147,11 @@ def main(small=False):
         ],
         tol=1e-3,
         chunk_size=2048,
-        # damped Gauss-Newton on the exact Fisher-z least-squares form
-        # of the likelihood: same optima as Nelder-Mead (parity pinned
-        # in tests/test_ellipse.py), ~20 iterations instead of
-        # hundreds of simplex steps
-        opt_method="lm",
+        # batched Nelder-Mead (default): measured fastest lane at this
+        # scale — the 95 s round-2 stage wall was the exact-top-k XLA
+        # compile, not the optimizer (docs/perf.md); opt_method="lm"
+        # (damped Gauss-Newton on the Fisher-z least-squares form) is
+        # available when gradients/Hessians are wanted
         # cap each fit's training correlations to its 4096 nearest
         # in-window points: whole-grid cost is n_points x n_cols, and
         # at 1 degree the unrestricted 40k x 40k fit would be ~170x

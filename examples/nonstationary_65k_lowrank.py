@@ -59,6 +59,9 @@ def stage(name, t0):
 
 
 def main():
+    from glomargridding_tpu.config import enable_compile_cache
+
+    enable_compile_cache()  # monthly reruns skip minutes of XLA compile
     lat = np.arange(-89.5, 90.0, 180.0 / M_LAT, dtype=np.float32)
     lon = np.arange(-179.5, 180.0, 360.0 / M_LON, dtype=np.float32)
     glat = np.repeat(lat, M_LON)

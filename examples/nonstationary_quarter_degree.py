@@ -58,6 +58,9 @@ def stage(name, t0):
 
 
 def main():
+    from glomargridding_tpu.config import enable_compile_cache
+
+    enable_compile_cache()  # monthly reruns skip minutes of XLA compile
     lat = np.linspace(-89.75, 89.75, M_LAT).astype(np.float32)
     lon = np.linspace(-179.75, 179.75, M_LON).astype(np.float32)
     glat = np.repeat(lat, M_LON)

@@ -35,3 +35,37 @@ def default_dtype_ctx(dtype):
         yield
     finally:
         _DEFAULT_DTYPE = prev
+
+
+def enable_compile_cache(path: str | None = None) -> str:
+    """Enable JAX's persistent compilation cache for this process.
+
+    Production gridding is a monthly-rerun workload whose big programs
+    (spherical-harmonic synthesis, 65k covariance assembly, the MLE
+    chunk pipeline) cost minutes of XLA compile but are byte-identical
+    run to run — the persistent cache turns every rerun's compile into
+    a disk read. Call once, before the first jit dispatch. `path`
+    defaults to ``$GLOMAR_COMPILE_CACHE`` or
+    ``~/.cache/glomargridding_tpu/xla``. Returns the path used.
+    """
+    import os
+
+    import jax
+
+    if path is None:
+        path = os.environ.get(
+            "GLOMAR_COMPILE_CACHE",
+            os.path.join(
+                os.path.expanduser("~"), ".cache", "glomargridding_tpu",
+                "xla",
+            ),
+        )
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    # cache even modestly-sized programs: the default min entry size
+    # skips exactly the mid-size kernels a monthly rerun redials
+    try:
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # older jax: keep the default threshold
+        pass
+    return path

@@ -174,3 +174,55 @@ def test_config_default_dtype():
     assert default_dtype() == base
     set_default_dtype(jnp.float32)
     assert default_dtype() == jnp.dtype(jnp.float32)
+
+
+def test_enable_compile_cache(tmp_path):
+    """The persistent-cache helper points JAX at the requested dir."""
+    import jax
+
+    from glomargridding_tpu.config import enable_compile_cache
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        p = enable_compile_cache(str(tmp_path / "xla"))
+        assert (tmp_path / "xla").is_dir()
+        assert jax.config.jax_compilation_cache_dir == p
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
+
+
+def test_clip_rank_multiple_pads_shapes(rng):
+    """rank_multiple pads the factor block with zero-gain columns;
+    numerics are unchanged and effective_rank reports the true rank."""
+    import jax
+    import jax.numpy as jnp
+
+    from glomargridding_tpu.ops.covariance_tools import (
+        explained_variance_clip_lowrank,
+    )
+
+    n = 256
+    x = rng.uniform(0.0, 1.0, size=(n, 2))
+    d2 = ((x[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    A = np.exp(-d2 / 0.02)
+    A = 0.5 * (A + A.T)
+
+    exact = explained_variance_clip_lowrank(
+        jnp.asarray(A), target_variance_fraction=0.9,
+        key=jax.random.key(0),
+    )
+    padded = explained_variance_clip_lowrank(
+        jnp.asarray(A), target_variance_fraction=0.9,
+        key=jax.random.key(0), rank_multiple=16,
+    )
+    assert padded.rank % 16 == 0
+    assert padded.rank >= exact.rank
+    assert padded.effective_rank == exact.rank
+    X = rng.normal(size=(n, 4))
+    np.testing.assert_allclose(
+        np.asarray(padded.matvec(jnp.asarray(X))),
+        np.asarray(exact.matvec(jnp.asarray(X))),
+        rtol=1e-8,
+        atol=1e-10,
+    )
+    np.testing.assert_allclose(padded.trace(), exact.trace(), rtol=1e-10)
