@@ -31,6 +31,7 @@ import numpy as np
 
 from ..utils.arrays import cor_2_cov, cov_2_cor
 from .eigsh import PartialSpectrumError, adaptive_topk_eigh
+from .sampling import Matvec, dense_matvec
 
 logger = logging.getLogger(__name__)
 
@@ -396,6 +397,20 @@ def explained_variance_clip_lowrank(
     return LowRankPSD(vectors=vecs, gains=gains, floor=floor)
 
 
+def _make_cor_apply(base_fn):
+    """D^{-1/2} A D^{-1/2} application preserving the Matvec split."""
+
+    def apply(inv_d, *rest):
+        *base_ops, X = rest
+        scale = inv_d if X.ndim == 1 else inv_d[:, None]
+        return scale * base_fn(*base_ops, scale * X)
+
+    return apply
+
+
+_COR_MV_BY_FN: dict = {}
+
+
 def laloux_clip_lowrank(
     operator,
     diag=None,
@@ -424,7 +439,10 @@ def laloux_clip_lowrank(
         A = jnp.asarray(operator)
         n = A.shape[0]
         diag = jnp.diagonal(A) if diag is None else jnp.asarray(diag)
-        base_mv = lambda X: A @ X  # noqa: E731
+        base_mv = dense_matvec(
+            A, compute_dtype=jnp.float32
+            if A.dtype == jnp.bfloat16 else A.dtype,
+        )
     else:
         if n is None or diag is None:
             raise ValueError(
@@ -435,9 +453,19 @@ def laloux_clip_lowrank(
     d = jnp.sqrt(diag)
     inv_d = 1.0 / d
 
-    def cor_mv(X):
-        scale = inv_d if X.ndim == 1 else inv_d[:, None]
-        return scale * jnp.asarray(base_mv(scale * X))
+    # keep the Matvec structure (static fn + operands) when the base
+    # operator has it, so the adaptive solver's fused-stage dispatch
+    # path survives the correlation standardisation
+    if isinstance(base_mv, Matvec):
+        fn = _COR_MV_BY_FN.setdefault(
+            base_mv.fn, _make_cor_apply(base_mv.fn)
+        )
+        cor_mv = Matvec(fn, inv_d, *base_mv.operands)
+    else:
+
+        def cor_mv(X):
+            scale = inv_d if X.ndim == 1 else inv_d[:, None]
+            return scale * jnp.asarray(base_mv(scale * X))
 
     num_grid_pts = num_grid_pts or n
     q = num_grid_pts / num_time_pts
