@@ -527,13 +527,15 @@ class EllipseBuilder:
         `opt_method` "Nelder-Mead" (default, reference parity), "lm"
         (Levenberg-Marquardt on the exact Fisher-z least-squares form
         of the likelihood — same optimum, ~20 damped Gauss-Newton
-        iterations instead of hundreds of simplex steps, per-lane
-        damping so nothing lockstep-stalls; the throughput lane for
-        whole-grid fits), or "L-BFGS-B" (gradient-based; available
-        because K_nu is differentiable JAX). Measured on a v5e at the
-        5-degree global configuration NM is faster than L-BFGS (4.1s vs
-        15.9s: the vmapped linesearch synchronises across the batch);
-        "lm" beats both.
+        iterations instead of hundreds of simplex steps, with per-lane
+        damping so nothing lockstep-stalls), or "L-BFGS-B"
+        (gradient-based; available because K_nu is differentiable JAX).
+        Measured warm on a v5e at the 5-degree global configuration
+        (driver-recorded, ``bench_reference_configs``): NM 0.25 s,
+        LM 0.35 s, L-BFGS ~16 s (the vmapped linesearch synchronises
+        across the batch) — NM stays the default; LM's value is fewer
+        objective evaluations when the per-evaluation data is large,
+        and gradient access.
 
         `max_train_cols` caps the training correlations per fit to the
         K nearest in-window grid points (static-shape top-k gather).

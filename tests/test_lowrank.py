@@ -254,3 +254,33 @@ def test_months_scan_diagnostics_off(rng):
     )
     assert not np.any(np.asarray(fast.uncertainty))
     assert not np.any(np.asarray(fast.constraint_mask))
+
+
+def test_duplicate_obs_indices_warn(rng):
+    """Genuinely duplicated grid indices warn (the factored observation
+    system drops the floor coupling between them, models/lowrank.py:57);
+    pad-convention duplicates (huge error diagonal) stay silent."""
+    import warnings
+
+    from glomargridding_tpu.models.lowrank import check_idx_unique
+
+    psd = _make_psd(rng)
+    idx, y, E = _obs_setup(rng)
+    idx_dup = idx.copy()
+    idx_dup[1] = idx_dup[0]  # two real obs share a grid cell
+
+    with pytest.warns(UserWarning, match="multiple observations"):
+        lowrank_kriging(psd, idx_dup, y, E)
+
+    # pad convention: duplicates whose error diagonal is huge are exempt
+    E_pad = E.copy()
+    E_pad[1, 1] = 1e8
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert check_idx_unique(idx_dup, E_pad)
+        lowrank_kriging(psd, idx_dup, y, E_pad)
+
+    # unique indices never warn
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert check_idx_unique(idx, E)
