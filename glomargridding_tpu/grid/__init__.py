@@ -1,6 +1,7 @@
 """Grid construction, observation-grid alignment, masks, climatology."""
 
 from .grid import (
+    aggregate_observations,
     assign_to_grid,
     cross_coords,
     grid_from_resolution,
@@ -9,6 +10,7 @@ from .grid import (
 )
 
 __all__ = [
+    "aggregate_observations",
     "assign_to_grid",
     "cross_coords",
     "grid_from_resolution",

@@ -5,6 +5,7 @@ from .estimate import EllipseBuilder, init_parameter_set
 from .covariance import (
     EllipseCovarianceBuilder,
     build_ellipse_covariance,
+    ellipse_covariance_block,
     ellipse_covariance_operator,
 )
 
@@ -13,6 +14,7 @@ __all__ = [
     "EllipseCovarianceBuilder",
     "EllipseModel",
     "build_ellipse_covariance",
+    "ellipse_covariance_block",
     "ellipse_covariance_operator",
     "cov_ij_anisotropic",
     "cov_ij_isotropic",
