@@ -34,7 +34,7 @@ from ...ops.optim import (
 )
 from ...types import DeltaXMethod
 from ...utils.arrays import cov_2_cor, uncompress_masked
-from .model import EllipseModel
+from .model import ARCTANH_THRESHOLD, EllipseModel
 
 
 @jax.jit
@@ -145,6 +145,7 @@ def _train_geometry_arrays(
         "physical_distance",
         "physical_distance_selection",
         "max_train_cols",
+        "fisher_z",
     ),
 )
 def _chunk_train_data(
@@ -160,13 +161,21 @@ def _chunk_train_data(
     physical_distance: bool,
     physical_distance_selection: bool,
     max_train_cols,
+    fisher_z: bool = False,
 ):
     """One chunk's full training data (X, y, w) as ONE compiled program.
 
     Fusing geometry + correlation row-gather + nearest-column selection
-    keeps the (B, N) intermediates (≈360 MB each at the 1-degree shape)
+    keeps the (B, N) intermediates (≈360 MB at the 1-degree shape)
     inside XLA instead of materialising half a dozen of them eagerly —
     measured ~2x on the warm per-chunk wall of the whole-grid MLE fit.
+
+    With ``fisher_z=True`` the returned observations are
+    ``arctanh(clip(y))`` (masked lanes zeroed first, matching ``nll``'s
+    masking order) for the ``_nll_fit_z`` / ``_residuals_fit_z``
+    objectives: the transform is constant across optimizer iterations,
+    so computing it here removes one log per element per candidate
+    evaluation from the transcendental-bound fit loop.
     """
     X, w = _train_geometry_arrays(
         lats_all,
@@ -182,6 +191,14 @@ def _chunk_train_data(
     y = cor[centre_sel, :]
     if max_train_cols is not None and max_train_cols < y.shape[1]:
         X, y, w = _nearest_train_cols(X, y, w, max_train_cols, anisotropic)
+    if fisher_z:
+        y = jnp.arctanh(
+            jnp.clip(
+                jnp.where(w > 0, y, 0.0),
+                -ARCTANH_THRESHOLD,
+                ARCTANH_THRESHOLD,
+            )
+        )
     return X, y, w
 
 
@@ -585,7 +602,9 @@ class EllipseBuilder:
 
         # Bound method (NOT a local closure): hashes stably, so the
         # jitted batched optimiser compiles once per model instance.
-        fun = matern_ellipse._nll_fit
+        # The _z objectives take Fisher-transformed observations
+        # precomputed once per chunk (see _chunk_train_data).
+        fun = matern_ellipse._nll_fit_z
 
         all_x = []
         all_nit = []
@@ -612,12 +631,13 @@ class EllipseBuilder:
                 physical_distance=matern_ellipse.physical_distance,
                 physical_distance_selection=physical_distance_selection,
                 max_train_cols=max_train_cols,
+                fisher_z=True,
             )
             x0 = jnp.broadcast_to(x0_single, (len(sel), d))
 
             if use_lm:
                 res = batched_levenberg_marquardt(
-                    matern_ellipse._residuals_fit,
+                    matern_ellipse._residuals_fit_z,
                     x0,
                     (X, y, w),
                     (lo, hi),

@@ -31,7 +31,11 @@ from ...ops.optim import (
     lbfgs_minimize,
     nelder_mead,
 )
-from ...ops.special import kv_nan_guard
+from ...ops.special import (
+    _is_half_integer,
+    kv_nan_guard,
+    xv_kv_half_integer,
+)
 from ...types import FForm, ModelType, SuperCategory
 from ...utils.frames import deg_to_km
 
@@ -187,7 +191,7 @@ def cov_ij_anisotropic(
     tau = mahal_dist_func(delta_x, delta_y, Lx, Ly, theta=theta)
     first = (stdev * stdev_j) / (math.gamma(v) * (2.0 ** (v - 1.0)))
     inner = 2.0 * tau * jnp.sqrt(jnp.asarray(v, tau.dtype))
-    return first * jnp.power(inner, v) * kv_nan_guard(v, inner)
+    return first * _xv_kv(v, inner)
 
 
 def cov_ij_isotropic(v: float, stdev, delta, R, stdev_j=None):
@@ -197,7 +201,18 @@ def cov_ij_isotropic(v: float, stdev, delta, R, stdev_j=None):
     tau = jnp.abs(delta) / R
     first = (stdev * stdev_j) / (math.gamma(v) * (2.0 ** (v - 1.0)))
     inner = 2.0 * tau * jnp.sqrt(jnp.asarray(v, tau.dtype))
-    return first * jnp.power(inner, v) * kv_nan_guard(v, inner)
+    return first * _xv_kv(v, inner)
+
+
+def _xv_kv(v: float, inner):
+    """``inner**v * K_v(inner)`` — fused exp-polynomial for the
+    half-integer orders production fits use (0.5/1.5/2.5: HadSST4,
+    HadCRUT5), generic pow x K_v otherwise. The fused product costs ONE
+    transcendental where the generic chain costs ~five, and the MLE
+    objective is VPU-transcendental-bound."""
+    if _is_half_integer(v):
+        return xv_kv_half_integer(v, inner)
+    return jnp.power(inner, v) * kv_nan_guard(v, inner)
 
 
 _LOG_SQRT_2PI = 0.5 * math.log(2.0 * math.pi)
@@ -301,6 +316,47 @@ class EllipseModel:
         used to force a full ~3.5 s retrace every fit).
         """
         return self.nll(params, X, y, weights=weights)
+
+    def _nll_fit_z(self, params, X, z_y, weights):
+        """``_nll_fit`` with PRE-TRANSFORMED observations.
+
+        ``z_y = arctanh(clip(y))`` is constant across optimizer
+        iterations, so the whole-grid batched fit computes it once in
+        the chunk builder instead of on every Nelder-Mead candidate
+        evaluation (one log per element per eval — material, because
+        the objective is transcendental-bound). Masked lanes carry
+        ``z_y = arctanh(0) = 0`` and are zero-weighted, so the weighted
+        sum equals ``nll``'s exactly.
+        """
+        X = jnp.asarray(X)
+        sigma = (
+            jnp.asarray(1.0, X.dtype)
+            if self.unit_sigma
+            else params[self.n_params]
+        )
+        wmask = weights > 0
+        wsel = wmask[..., None] if X.ndim == weights.ndim + 1 else wmask
+        X = jnp.where(wsel, X, jnp.ones_like(X))
+        y_ll = self._model_correlation(X, params)
+        y_ll = jnp.where(wmask, y_ll, 0.0)
+        y_ll = jnp.nan_to_num(y_ll, nan=0.0)
+        y_ll = jnp.clip(y_ll, -ARCTANH_THRESHOLD, ARCTANH_THRESHOLD)
+        ll = _norm_logpdf(z_y, jnp.arctanh(y_ll), sigma)
+        return -jnp.sum(ll * weights)
+
+    def _residuals_fit_z(self, params, X, z_y, weights):
+        """``_residuals_fit`` with pre-transformed observations (see
+        ``_nll_fit_z``)."""
+        X = jnp.asarray(X)
+        wmask = weights > 0
+        wsel = wmask[..., None] if X.ndim == weights.ndim + 1 else wmask
+        X = jnp.where(wsel, X, jnp.ones_like(X))
+        y_ll = self._model_correlation(X, params)
+        y_ll = jnp.where(wmask, y_ll, 0.0)
+        y_ll = jnp.nan_to_num(y_ll, nan=0.0)
+        y_ll = jnp.clip(y_ll, -ARCTANH_THRESHOLD, ARCTANH_THRESHOLD)
+        r = z_y - jnp.arctanh(y_ll)
+        return jnp.sqrt(weights) * r
 
     def _residuals_fit(self, params, X, y, weights):
         r"""Weighted Fisher-z residuals: sqrt(w) (z(y) - z(model(X))).

@@ -250,24 +250,174 @@ def batched_nelder_mead(
     fatol: float = 1e-4,
     maxiter: int | None = None,
 ) -> NMResult:
-    """vmap Nelder-Mead over a batch of problems.
+    """Natively batched Nelder-Mead over independent problems.
 
     `fun(x, *args_i)` is minimised per batch element; `x0` is (B, d) and
     each element of `args` has leading batch dimension B. `bounds` is a
     (lo, hi) pair of (d,) arrays shared across the batch.
-    """
 
-    def solve_one(x0_i, *args_i):
-        return nelder_mead(
-            lambda x: fun(x, *args_i),
-            x0_i,
-            bounds=bounds,
-            xatol=xatol,
-            fatol=fatol,
-            maxiter=maxiter,
+    Same algorithm as ``nelder_mead`` (scipy decision tree, clip-to-box
+    bounds, per-lane termination with frozen finished lanes), but the
+    batch axis is explicit rather than ``vmap``-derived, which buys two
+    things a vmapped ``while_loop`` cannot express:
+
+    - the four candidate evaluations (reflect/expand/contractions) run
+      as ONE stacked call, so the training data — the dominant HBM
+      traffic when `args` holds a (B, N, ...) design — streams once per
+      iteration instead of four times;
+    - the shrink-simplex evaluation (d+1 more full passes) sits behind a
+      scalar ``lax.cond`` and only runs on iterations where some ACTIVE
+      lane actually shrinks. Under ``vmap`` the untaken branch is
+      select-merged and every lane paid it every iteration.
+
+    Together these cut per-iteration objective passes from 4 + (d+1)
+    to 4 + rare shrinks, with the four survivors sharing one read of
+    the training arrays. (The 1-degree whole-grid ellipse fit's stage
+    wall is dominated by the per-chunk training-data build rather than
+    the solve, so there the rewrite mainly buys headroom for larger
+    ``max_train_cols``.)
+    """
+    x0 = jnp.asarray(x0)
+    B, d = x0.shape
+    if maxiter is None:
+        maxiter = 200 * d
+    if bounds is None:
+        lo = jnp.full((d,), -jnp.inf, x0.dtype)
+        hi = jnp.full((d,), jnp.inf, x0.dtype)
+    else:
+        lo = jnp.asarray(bounds[0], x0.dtype)
+        hi = jnp.asarray(bounds[1], x0.dtype)
+
+    vf = jax.vmap(fun)  # (B, d) + per-lane args -> (B,)
+    in_axes = (0,) + tuple(None for _ in args)
+    vfk = jax.vmap(vf, in_axes=in_axes)  # (K, B, d) -> (K, B)
+
+    # scipy-style initial simplex per lane: (B, d+1, d)
+    nonzdelt = 0.05
+    zdelt = 0.00025
+    step = jnp.where(x0 == 0.0, zdelt, nonzdelt * x0)  # (B, d)
+    pts = x0[:, None, :] + jnp.eye(d, dtype=x0.dtype)[None] * step[
+        :, None, :
+    ]
+    simplex = jnp.clip(
+        jnp.concatenate([x0[:, None, :], pts], axis=1), lo, hi
+    )
+    fvals = vfk(jnp.swapaxes(simplex, 0, 1), *args).T  # (B, d+1)
+
+    def _lane_convergence(simplex, fvals):
+        order = jnp.argsort(fvals, axis=1)
+        fs = jnp.take_along_axis(fvals, order, axis=1)
+        xs = jnp.take_along_axis(simplex, order[:, :, None], axis=1)
+        f_spread = jnp.max(jnp.abs(fs[:, 1:] - fs[:, :1]), axis=1)
+        x_spread = jnp.max(
+            jnp.abs(xs[:, 1:] - xs[:, :1]), axis=(1, 2)
+        )
+        return (f_spread <= fatol) & (x_spread <= xatol)
+
+    def cond(state):
+        simplex, fvals, nit = state
+        converged = _lane_convergence(simplex, fvals)
+        return jnp.any((~converged) & (nit < maxiter))
+
+    def body(state):
+        simplex, fvals, nit = state
+        converged = _lane_convergence(simplex, fvals)
+        active = (~converged) & (nit < maxiter)  # (B,)
+
+        order = jnp.argsort(fvals, axis=1)
+        sorted_simplex = jnp.take_along_axis(
+            simplex, order[:, :, None], axis=1
+        )
+        sorted_fvals = jnp.take_along_axis(fvals, order, axis=1)
+
+        centroid = jnp.mean(sorted_simplex[:, :-1], axis=1)  # (B, d)
+        xw = sorted_simplex[:, -1]
+        fw = sorted_fvals[:, -1]
+        fb = sorted_fvals[:, 0]
+        fsw = sorted_fvals[:, -2]
+        direction = centroid - xw
+
+        cands = jnp.clip(
+            jnp.stack(
+                [
+                    centroid + direction,
+                    centroid + 2.0 * direction,
+                    centroid + 0.5 * direction,
+                    centroid - 0.5 * direction,
+                ]
+            ),
+            lo,
+            hi,
+        )  # (4, B, d)
+        fr, fe, foc, fic = vfk(cands, *args)
+        xr, xe, xoc, xic = cands
+
+        # scipy decision tree, arithmetic form (per lane)
+        take_expand = (fr < fb) & (fe < fr)
+        take_reflect = ((fr < fb) & ~(fe < fr)) | (
+            (fr >= fb) & (fr < fsw)
+        )
+        outside = (fr >= fsw) & (fr < fw)
+        take_oc = outside & (foc <= fr)
+        inside = fr >= fw
+        take_ic = inside & (fic < fw)
+        shrink = (outside & ~(foc <= fr)) | (inside & ~(fic < fw))
+        del take_ic  # the final where-default; kept for readability
+
+        cand_x = jnp.where(
+            take_expand[:, None],
+            xe,
+            jnp.where(
+                take_reflect[:, None],
+                xr,
+                jnp.where(take_oc[:, None], xoc, xic),
+            ),
+        )
+        cand_f = jnp.where(
+            take_expand,
+            fe,
+            jnp.where(take_reflect, fr, jnp.where(take_oc, foc, fic)),
         )
 
-    return jax.vmap(solve_one)(x0, *args)
+        replaced_simplex = sorted_simplex.at[:, -1].set(cand_x)
+        replaced_fvals = sorted_fvals.at[:, -1].set(cand_f)
+
+        best = sorted_simplex[:, :1]
+        shrunk_simplex = jnp.clip(
+            best + 0.5 * (sorted_simplex - best), lo, hi
+        )
+        # d+1 full objective passes — only pay them on the (rare)
+        # iterations where an active lane actually shrinks
+        shrunk_fvals = lax.cond(
+            jnp.any(shrink & active),
+            lambda s: vfk(jnp.swapaxes(s, 0, 1), *args).T,
+            lambda s: jnp.full_like(sorted_fvals, jnp.inf),
+            shrunk_simplex,
+        )
+
+        new_simplex = jnp.where(
+            shrink[:, None, None], shrunk_simplex, replaced_simplex
+        )
+        new_fvals = jnp.where(
+            shrink[:, None], shrunk_fvals, replaced_fvals
+        )
+
+        # frozen lanes keep their state (vmapped-while semantics)
+        out_simplex = jnp.where(active[:, None, None], new_simplex, simplex)
+        out_fvals = jnp.where(active[:, None], new_fvals, fvals)
+        return out_simplex, out_fvals, nit + active
+
+    simplex, fvals, nit = lax.while_loop(
+        cond, body, (simplex, fvals, jnp.zeros((B,), jnp.int32))
+    )
+
+    best = jnp.argmin(fvals, axis=1)
+    x_best = jnp.take_along_axis(
+        simplex, best[:, None, None], axis=1
+    )[:, 0]
+    f_best = jnp.take_along_axis(fvals, best[:, None], axis=1)[:, 0]
+    success = _lane_convergence(simplex, fvals)
+    return NMResult(x_best, f_best, nit, success)
 
 
 # ===========================================================================

@@ -243,6 +243,42 @@ def kv_nan_guard(v: float, x):
     return jnp.where(jnp.isinf(out), jnp.nan, out)
 
 
+def xv_kv_half_integer(v: float, x):
+    r"""``x**v * K_v(x)`` for static half-integer ``v``, as ONE exp.
+
+    For :math:`\nu = n + 1/2`,
+
+    .. math::
+        x^\nu K_\nu(x) = \sqrt{\pi/2}\; e^{-x}
+            \sum_{k=0}^{n} \frac{(n+k)!}{k!\,(n-k)!\,2^k}\, x^{n-k},
+
+    an exp times a degree-n polynomial. Evaluating the PRODUCT this way
+    replaces the generic ``pow(x, v) * kv(v, x)`` chain (a log-exp pow,
+    plus the sqrt/exp/divide of the half-integer K_v) with a single
+    ``exp`` and a Horner polynomial — the Matern likelihood's inner
+    loop is transcendental-bound on the VPU, so the whole-grid ellipse
+    fit sees this directly.
+
+    Limit semantics match the generic product: at ``x == 0`` the
+    generic path is ``0 * inf -> nan`` (callers sanitise via
+    ``nan_to_num``), and NaN is returned here too; ``x < 0`` is NaN.
+    """
+    if not _is_half_integer(v):
+        raise ValueError(f"v={v} is not half-integer")
+    n = int(round(v - 0.5))
+    x = jnp.asarray(x)
+    x_safe = jnp.where(x > 0.0, x, jnp.ones_like(x))
+    # c_k = (n+k)! / (k! (n-k)! 2^k), built iteratively; Horner from x^n
+    coeffs = [1.0]
+    for k in range(1, n + 1):
+        coeffs.append(coeffs[-1] * (n + k) * (n - k + 1) / (2.0 * k))
+    total = jnp.full_like(x_safe, coeffs[0])
+    for c in coeffs[1:]:
+        total = total * x_safe + c
+    out = math.sqrt(math.pi / 2.0) * jnp.exp(-x_safe) * total
+    return jnp.where(x > 0.0, out, jnp.nan)
+
+
 def gamma_fn(v: float) -> float:
     """Gamma(v) for a static Python float order."""
     return math.gamma(v)

@@ -43,3 +43,24 @@ def test_kv_negative_order_symmetry():
     a = np.asarray(kv(1.5, jnp.asarray(X)))
     b = np.asarray(kv(-1.5, jnp.asarray(X)))
     np.testing.assert_allclose(a, b)
+
+
+@pytest.mark.parametrize("v", [0.5, 1.5, 2.5, 3.5])
+def test_xv_kv_half_integer_matches_product(v):
+    from glomargridding_tpu.ops.special import xv_kv_half_integer
+
+    ours = np.asarray(xv_kv_half_integer(v, jnp.asarray(X, jnp.float64)))
+    ref = X**v * scipy_kv(v, X)
+    np.testing.assert_allclose(ours, ref, rtol=1e-12)
+    # generic-product limit semantics: 0 * inf -> nan; negative -> nan
+    edge = np.asarray(
+        xv_kv_half_integer(v, jnp.asarray([0.0, -1.0], jnp.float64))
+    )
+    assert np.isnan(edge).all()
+
+
+def test_xv_kv_rejects_non_half_integer():
+    from glomargridding_tpu.ops.special import xv_kv_half_integer
+
+    with pytest.raises(ValueError):
+        xv_kv_half_integer(1.2, jnp.asarray(X))
