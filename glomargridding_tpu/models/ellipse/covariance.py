@@ -33,7 +33,7 @@ import numpy as np
 from ...constants import RADIUS_OF_EARTH_KM
 from ...ops.distances import sigma_rot_flat
 from ...ops.sampling import Matvec
-from ...ops.special import kv
+from ...ops.special import xv_kv
 from ...types import CovarianceMethod, DeltaXMethod
 
 logger = logging.getLogger(__name__)
@@ -104,7 +104,9 @@ def ellipse_covariance_block(
     ) / det_bar
     tau = jnp.sqrt(jnp.clip(quad, 0.0, None))
     inner = (2.0 * math.sqrt(v)) * tau
-    corr = jnp.power(inner, v) * kv(v, inner)
+    # fused x^v K_v (one exp for half-integer v) — same chain the
+    # Pallas tile kernel uses; inner==0 / NaN sanitised just below
+    corr = xv_kv(v, inner)
     out = pref * corr
     # zero displacement (diagonal) and any non-finite garbage -> 0
     out = jnp.where(inner > 0.0, out, jnp.zeros_like(out))

@@ -31,11 +31,7 @@ from ...ops.optim import (
     lbfgs_minimize,
     nelder_mead,
 )
-from ...ops.special import (
-    _is_half_integer,
-    kv_nan_guard,
-    xv_kv_half_integer,
-)
+from ...ops.special import xv_kv as _xv_kv
 from ...types import FForm, ModelType, SuperCategory
 from ...utils.frames import deg_to_km
 
@@ -202,17 +198,6 @@ def cov_ij_isotropic(v: float, stdev, delta, R, stdev_j=None):
     first = (stdev * stdev_j) / (math.gamma(v) * (2.0 ** (v - 1.0)))
     inner = 2.0 * tau * jnp.sqrt(jnp.asarray(v, tau.dtype))
     return first * _xv_kv(v, inner)
-
-
-def _xv_kv(v: float, inner):
-    """``inner**v * K_v(inner)`` — fused exp-polynomial for the
-    half-integer orders production fits use (0.5/1.5/2.5: HadSST4,
-    HadCRUT5), generic pow x K_v otherwise. The fused product costs ONE
-    transcendental where the generic chain costs ~five, and the MLE
-    objective is VPU-transcendental-bound."""
-    if _is_half_integer(v):
-        return xv_kv_half_integer(v, inner)
-    return jnp.power(inner, v) * kv_nan_guard(v, inner)
 
 
 _LOG_SQRT_2PI = 0.5 * math.log(2.0 * math.pi)

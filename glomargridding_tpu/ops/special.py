@@ -279,6 +279,20 @@ def xv_kv_half_integer(v: float, x):
     return jnp.where(x > 0.0, out, jnp.nan)
 
 
+def xv_kv(v: float, x):
+    """``x**v * K_v(x)`` with the NaN-guarded generic-product semantics.
+
+    Dispatches to the fused exp-polynomial for static half-integer
+    orders (``xv_kv_half_integer`` — the production Matern smoothness
+    values 0.5/1.5/2.5) and to ``pow(x, v) * kv_nan_guard(v, x)``
+    otherwise. Both Matern hot paths (the ellipse NLL and the variogram
+    kernels) call this, so the half-integer speedup is shared.
+    """
+    if _is_half_integer(v):
+        return xv_kv_half_integer(v, x)
+    return jnp.power(x, v) * kv_nan_guard(v, x)
+
+
 def gamma_fn(v: float) -> float:
     """Gamma(v) for a static Python float order."""
     return math.gamma(v)

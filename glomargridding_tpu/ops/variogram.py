@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.labeled import DataArray
-from .special import gamma_fn, kv_nan_guard
+from .special import gamma_fn, xv_kv
 
 MaternModel = Literal["sklearn", "gstat", "karspeck"]
 
@@ -70,7 +70,7 @@ def _vario_kernel(
             raise ValueError("Unexpected 'method' value")
         left = 1.0 / (gamma_fn(nu) * (2.0 ** (nu - 1.0)))
         inner = scale * (d / range_)
-        corr = left * jnp.power(inner, nu) * kv_nan_guard(nu, inner)
+        corr = left * xv_kv(nu, inner)
         out = psill * (1.0 - corr) + nugget
         out = jnp.where(d == 0.0, jnp.full_like(out, 1.0) * nugget, out)
     else:
