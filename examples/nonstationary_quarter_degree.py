@@ -13,10 +13,11 @@ operator application under ``lax.scan`` — O(n * block) memory — so:
      floats = 265 MB at rank 256);
   3. kriging + a 100-member two-stage ensemble run off the factors.
 
-Measured (one v5e chip, 2026-08-17): warm-up sweep 128 s (incl.
-compile), matvec-only PSD repair 75 s (trace to 2e-7), kriging + 100
-members 1.64 s warm (91 s incl. compile); member spread 0.301 vs
-posterior kriging uncertainty 0.301.
+Measured (one v5e chip, 2026-08-17, warm compile cache): warm-up
+sweep ~2 min (synthetic-field build + first sweep), matvec-only PSD
+repair 17 s (trace to 1.4e-07; the fused x^v K_v streamed tiles cut
+this from round 2's 75 s), kriging + 100 members 0.63 s/step warm;
+member spread 0.302 vs posterior kriging uncertainty 0.302.
 
 Run: python examples/nonstationary_quarter_degree.py
 (reference anchor: ellipse/covariance.py:206-215 — dense-only, auto-
