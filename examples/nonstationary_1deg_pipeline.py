@@ -215,6 +215,7 @@ def main(small=False):
     y = truth_fit[idx] + 0.3 * rng.normal(size=n_obs).astype(np.float32)
     E = np.diag(np.full(n_obs, 0.09, np.float32))
 
+    t0 = stage("  (truth draw + obs prep)", t0)
     res, members = lowrank_ensemble_step(
         psd, idx, y, E, jax.random.key(3), n_members=N_MEMBERS
     )

@@ -152,6 +152,14 @@ class SphericalHarmonicSampler:
         Spectral truncation; default min(3 * n_lat, 720).
     nugget : float
         Independent white-noise variance added per grid point.
+    member_batch : int
+        Member-count granularity. ``draw`` rounds the requested count
+        up to a multiple of this and slices the excess, so every count
+        up to ``member_batch`` shares ONE compiled program — drawing a
+        60-state training cube and then a single truth state costs one
+        XLA compile, not two. The synthesis program is large (the
+        (members, l, m) einsum at l_max ~ 256 compiles in seconds), so
+        per-count recompiles were the dominant cost of small draws.
     """
 
     def __init__(
@@ -164,6 +172,7 @@ class SphericalHarmonicSampler:
         nugget: float = 0.0,
         n_quad: int = 4096,
         dtype=jnp.float32,
+        member_batch: int = 64,
     ):
         lats_deg = np.asarray(lats_deg)
         lons_deg = np.asarray(lons_deg)
@@ -184,20 +193,30 @@ class SphericalHarmonicSampler:
         self.P_table = jnp.asarray(legendre_table(l_max, lats_deg), dtype)
         self.lon0_rad = float(np.radians(lons_deg[0]))
         self._dtype = dtype
+        self.member_batch = int(member_batch)
 
     def draw(self, key, n_members: int):
         """(n_members, n_lat * n_lon) stationary field draws."""
         if self.nugget > 0.0:
             key, kn = jax.random.split(key)
-        fields = _synthesize(
+        # synthesize a multiple of `member_batch` members in ONE
+        # dispatch and slice the excess: every count <= member_batch
+        # shares a single compiled program (a 1-state truth draw after
+        # a 60-state training cube costs zero new compiles), and larger
+        # counts collapse to ceil(n / B) distinct programs whose compile
+        # is amortised over the draw itself. A per-batch host loop is
+        # NOT used — its ~10 ms/dispatch overhead dominates at small
+        # grid sizes. The waste is bounded by one batch of members.
+        B = self.member_batch
+        n_eff = B * (-(-n_members // B))
+        flat = _synthesize(
             key,
             self.c_l,
             self.P_table,
             jnp.asarray(self.lon0_rad, self._dtype),
-            n_members,
+            n_eff,
             self.n_lon,
-        )
-        flat = fields.reshape(n_members, self.n_lat * self.n_lon)
+        ).reshape(n_eff, self.n_lat * self.n_lon)[:n_members]
         if self.nugget > 0.0:
             flat = flat + jnp.sqrt(
                 jnp.asarray(self.nugget, self._dtype)

@@ -115,3 +115,49 @@ def test_nugget_adds_independent_variance(rng):
     v0 = d0.var(axis=0).mean()
     v1 = d1.var(axis=0).mean()
     assert abs(v1 - v0 - 0.5) < 0.08
+
+
+def test_draw_counts_share_one_compiled_program():
+    """Member counts up to ``member_batch`` reuse ONE synthesis program.
+
+    Drawing a training cube and then a single truth state must not
+    recompile the (members, l, m) einsum — ``draw`` rounds the count up
+    to a multiple of ``member_batch`` and slices, so `_synthesize` sees
+    one signature for every count <= member_batch (and one dispatch,
+    never a per-batch host loop, for larger counts).
+    """
+    from glomargridding_tpu.ops import sphere
+
+    lats = np.arange(-60.0, 61.0, 30.0)
+    lons = np.arange(-180.0, 180.0, 60.0)
+    corr = matern_correlation(nu=1.5, range_km=6000.0)
+    sampler = SphericalHarmonicSampler(
+        corr, 1.0, lats, lons, l_max=32, member_batch=16
+    )
+
+    calls = []
+    real = sphere._synthesize
+
+    def spy(key, c_l, P, lon0, n_members, n_lon):
+        calls.append(n_members)
+        return real(key, c_l, P, lon0, n_members, n_lon)
+
+    sphere._synthesize, orig = spy, sphere._synthesize
+    try:
+        a = sampler.draw(jax.random.key(0), 10)   # < batch
+        b = sampler.draw(jax.random.key(1), 16)   # == batch
+        c = sampler.draw(jax.random.key(2), 37)   # 3 batches
+        d = sampler.draw(jax.random.key(3), 1)    # truth draw
+    finally:
+        sphere._synthesize = orig
+
+    # 10, 16 and 1 members all hit the SAME 16-member program; 37 is
+    # one 48-member dispatch (a multiple of the batch, no host loop)
+    assert calls == [16, 16, 48, 16], calls
+    assert a.shape == (10, len(lats) * len(lons))
+    assert b.shape[0] == 16 and c.shape[0] == 37 and d.shape[0] == 1
+    # batches are independent draws, not repeats of one batch
+    assert not np.allclose(np.asarray(c[:16]), np.asarray(c[16:32]))
+    # distribution unchanged: unit variance to sampling noise
+    big = np.asarray(sampler.draw(jax.random.key(4), 4000))
+    assert abs(big.var() - 1.0) < 0.1
