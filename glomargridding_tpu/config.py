@@ -62,10 +62,14 @@ def enable_compile_cache(path: str | None = None) -> str:
         )
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
-    # cache even modestly-sized programs: the default min entry size
-    # skips exactly the mid-size kernels a monthly rerun redials
+    # cache EVERY program, even sub-second ones: compile latency over
+    # the remote-compile service is heavy-tailed (the same Legendre
+    # scan measured 0.6 s and 59 s on different fresh processes), so
+    # local persistence — not local compile speed — is what bounds a
+    # cold process's wall time
     try:
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:  # older jax: keep the default threshold
         pass
     return path

@@ -87,32 +87,40 @@ def check_idx_unique(idx, error_cov=None, pad_error: float = 1e6):
     return n_dup == 0
 
 
-def _factor_and_field(V, g, f, E, idx, y):
-    """Shared ordinary-kriging core off the factors: one Cholesky of
-    K = C_obs + E drives the field and the Lagrange diagnostics.
+def _stacked_obs_solve(V_o, g, f_o, E, y, extra=None):
+    """One Cholesky of K = C_obs + E and ONE triangular solve for every
+    right-hand side the caller needs.
 
-    Returns (factor, V_o, f_o, field, t, lam, uy) — everything both the
-    full solve and the deterministic test seam
-    (``lowrank_members_from_states``) need, so the algebra lives in
-    exactly one place.
+    Returns (u, w, X) = K^{-1}(1, y, extra). Stacking [1, y, extra]
+    into a single ``cho_solve`` matters beyond kernel-launch count: each
+    distinct XLA:TPU triangular instance serializes to a multi-MB
+    executable blob, and the old 8-instance program weighed 56 MB in
+    the persistent compile cache — a cold process shipped all of it to
+    the device before the first solve. The stacked form keeps exactly
+    one Cholesky and one forward/back substitution pair per program.
     """
-    dtype = V.dtype
-    m = idx.shape[0]
-    V_o = V[idx]
-    f_o = f[idx]
+    dtype = V_o.dtype
+    m = V_o.shape[0]
     K = (V_o * g[None, :]) @ V_o.T + jnp.diag(f_o) + E
     L = jnp.linalg.cholesky(K)
-    factor = (L, True)
-    ones = jnp.ones((m,), dtype)
-    u = jsl.cho_solve(factor, ones)
-    w = jsl.cho_solve(factor, y)
+    rhs = [jnp.ones((m, 1), dtype), y[:, None]]
+    if extra is not None:
+        rhs.append(extra)
+    sol = jsl.cho_solve((L, True), jnp.concatenate(rhs, axis=1))
+    u, w = sol[:, 0], sol[:, 1]
+    return u, w, (sol[:, 2:] if extra is not None else None)
+
+
+def _field_from_uw(V, g, f, idx, u, w, y):
+    """Ordinary-kriged field + Lagrange terms from u = K^{-1}1 and
+    w = K^{-1}y. Returns (field, t, lam, uy)."""
     s = jnp.sum(u)
     uy = u @ y
     t = _cross_t_apply(V, g, f, idx, u)  # (n,) colsums of K^{-1}C_x
     cw = _cross_t_apply(V, g, f, idx, w)
     lam = (t - 1.0) / s
     field = cw - lam * uy
-    return factor, V_o, f_o, field, t, lam, uy
+    return field, t, lam, uy
 
 
 def _cross_t_apply(V, g, f, idx, z):
@@ -131,7 +139,8 @@ def _cross_t_apply(V, g, f, idx, z):
 
 
 def _lowrank_solve_impl(
-    V, g, f, E, idx, y, key, n_members: int, diagnostics: bool = True
+    V, g, f, E, idx, y, key, n_members: int,
+    diagnostics: bool = True, e_diag: bool = False,
 ):
     """Factorise K, field, diagnostics, members — traceable core.
 
@@ -141,29 +150,95 @@ def _lowrank_solve_impl(
     n_members = 0 skips the ensemble entirely (XLA drops the dead
     branches: states, noise factor, member solves);
     diagnostics=False skips the uncertainty/constraint diagonals —
-    the m^3-triangular part of the solve — and returns zeros for them.
+    the m^2-wide part of the stacked solve — and returns zeros for
+    them; e_diag=True (set by the public wrappers when E is diagonal,
+    the common production case) draws the obs noise elementwise instead
+    of via a second m^3 Cholesky.
+
+    Every right-hand side — [1, y] for the field, [V_o, I_m] for the
+    diagnostics, the simulated observations for the members — goes
+    through ONE stacked ``cho_solve`` (see ``_stacked_obs_solve``).
     """
     dtype = V.dtype
-    factor, V_o, f_o, field, t, lam, uy = _factor_and_field(
-        V, g, f, E, idx, y
-    )
-    L = factor[0]
     m = idx.shape[0]
+    n = V.shape[0]
+    r = g.shape[0]
+    V_o = V[idx]
+    f_o = f[idx]
+
+    # draw states and simulated observations FIRST so they can join the
+    # single stacked solve
+    if n_members > 0:
+        k_state, k_obs = jax.random.split(key)
+        k1, k2 = jax.random.split(k_state)
+        z1 = jax.random.normal(k1, (n, n_members), dtype)
+        z2 = jax.random.normal(k2, (r, n_members), dtype)
+        states = jnp.sqrt(f)[:, None] * z1 + V @ (
+            jnp.sqrt(g)[:, None] * z2
+        )  # (n, members)
+        zo = jax.random.normal(k_obs, (m, n_members), dtype)
+        if e_diag:
+            eps = jnp.sqrt(jnp.diagonal(E))[:, None] * zo
+        else:
+            eps = jnp.linalg.cholesky(E) @ zo
+        sim_obs = states[idx] + eps  # (m, members)
+
+    if e_diag:
+        # Woodbury route: K = D + U U' with D = diag(f_o + e) and
+        # U = V_o sqrt(g), so K^{-1}Z = D^{-1}Z - D^{-1}U W^{-1}U'D^{-1}Z
+        # with W = I_r + U'D^{-1}U — SPD with eigenvalues >= 1 (zero-gain
+        # pad_rank columns are simply zero columns of U). EVERY solve is
+        # r-sized: the m^3 Cholesky disappears, and with it the m-wide
+        # triangular kernels whose serialized executables dominated the
+        # program (50 MB -> a few MB) and the cold-process load time.
+        d = f_o + jnp.diagonal(E)
+        U = V_o * jnp.sqrt(g)[None, :]
+        DiU = U / d[:, None]
+        W = jnp.eye(r, dtype=dtype) + U.T @ DiU
+        Lw = jnp.linalg.cholesky(W)
+
+        def ksolve(Z):
+            Zd = Z / d[:, None]
+            return Zd - DiU @ jsl.cho_solve((Lw, True), U.T @ Zd)
+
+        rhs = [jnp.ones((m, 1), dtype), y[:, None]]
+        if n_members > 0:
+            rhs.append(sim_obs)
+        sol = ksolve(jnp.concatenate(rhs, axis=1))
+        u, w = sol[:, 0], sol[:, 1]
+        X = sol[:, 2:] if n_members > 0 else None
+    else:
+        parts = []
+        if diagnostics:
+            parts.append(V_o)
+            parts.append(jnp.eye(m, dtype=dtype))
+        if n_members > 0:
+            parts.append(sim_obs)
+        u, w, X = _stacked_obs_solve(
+            V_o, g, f_o, E, y,
+            jnp.concatenate(parts, axis=1) if parts else None,
+        )
+    field, t, lam, uy = _field_from_uw(V, g, f, idx, u, w, y)
 
     if diagnostics:
-        # diag(C_x' K^{-1} C_x) = ||L^{-1} C_x[:, j]||^2 per column:
-        # L^{-1}C_x[:, j] = B (g V_j) + f_j T[:, pos(j)], B = L^{-1}V_o
-        # and T = L^{-1}. The first term is the (r x r) Gram form; the
-        # second exists only at the m observed columns.
-        B = jsl.solve_triangular(L, V_o, lower=True)  # (m, r)
-        M = (g[:, None] * (B.T @ B)) * g[None, :]  # (r, r)
+        # diag(C_x' K^{-1} C_x): C_x[:, j] = V_o (g V_j) + f_j e_pos(j),
+        # so the quadratic form splits into the (r x r) Gram piece
+        # V_j' g (V_o'K^{-1}V_o) g V_j, a cross piece on the m observed
+        # columns via S = K^{-1}V_o, and f_j^2 diag(K^{-1}).
+        if e_diag:
+            S = ksolve(V_o)  # K^{-1} V_o, r-sized solves only
+            # diag(K^{-1}) = 1/d - rowsum((Lw^{-1}DiU')^2): one narrow
+            # forward substitution instead of an m-wide identity RHS
+            R = jsl.solve_triangular(Lw, DiU.T, lower=True)  # (r, m)
+            kinv_diag = 1.0 / d - jnp.sum(R**2, axis=0)
+        else:
+            S = X[:, :r]  # K^{-1} V_o
+            kinv_diag = jnp.diagonal(X[:, r:r + m])
+        M = (g[:, None] * (V_o.T @ S)) * g[None, :]  # (r, r)
+        M = 0.5 * (M + M.T)
         sv = jnp.sum((V @ M) * V, axis=1)  # (n,)
-        T = jsl.solve_triangular(L, jnp.eye(m, dtype=dtype), lower=True)
-        # cross 2 f_j (T e_i)'(B g V_j) and pure f_j^2 ||T e_i||^2
-        P = jnp.sum((T.T @ B) * (V_o * g[None, :]), axis=1)  # (m,)
-        sv = sv.at[idx].add(
-            2.0 * f_o * P + f_o**2 * jnp.sum(T**2, axis=0)
-        )
+        P = jnp.sum(S * (V_o * g[None, :]), axis=1)  # (m,)
+        sv = sv.at[idx].add(2.0 * f_o * P + f_o**2 * kinv_diag)
 
         diag = f + jnp.sum(V**2 * g[None, :], axis=1)
         wc = sv - lam * t
@@ -174,29 +249,52 @@ def _lowrank_solve_impl(
         cmask = jnp.zeros_like(field)
 
     if n_members == 0:
-        members = jnp.zeros((0, V.shape[0]), dtype)
+        members = jnp.zeros((0, n), dtype)
         return field, uncert2, cmask, members
 
-    # two-stage ensemble: exact factored-state draws + obs perturbation
-    k_state, k_obs = jax.random.split(key)
-    k1, k2 = jax.random.split(k_state)
-    z1 = jax.random.normal(k1, (V.shape[0], n_members), dtype)
-    z2 = jax.random.normal(k2, (g.shape[0], n_members), dtype)
-    states = jnp.sqrt(f)[:, None] * z1 + V @ (
-        jnp.sqrt(g)[:, None] * z2
-    )  # (n, members)
-    LE = jnp.linalg.cholesky(E)
-    eps = LE @ jax.random.normal(k_obs, (m, n_members), dtype)
-    sim_obs = states[idx] + eps  # (m, members)
-    A = jsl.cho_solve(factor, sim_obs)  # (m, members)
+    A = X[:, -n_members:]  # K^{-1} sim_obs
     grid_sim = _cross_t_apply(V, g, f, idx, A)  # (n, members)
     members = field[None, :] + (grid_sim - states).T
     return field, uncert2, cmask, members
 
 
 _lowrank_solve = partial(
-    jax.jit, static_argnames=("n_members", "diagnostics")
+    jax.jit, static_argnames=("n_members", "diagnostics", "e_diag")
 )(_lowrank_solve_impl)
+
+
+@jax.jit
+def _offdiag_any(E):
+    """True iff any off-diagonal entry of E ((m, m) or (T, m, m)) is
+    nonzero — computed ON DEVICE so only one scalar crosses the link."""
+    eye = jnp.eye(E.shape[-1], dtype=bool)
+    if E.ndim == 3:
+        eye = eye[None]
+    return jnp.any(jnp.where(eye, 0.0, E) != 0.0)
+
+
+def _is_diagonal(E) -> bool:
+    """Is the error covariance diagonal (per month or stacked
+    (T, m, m))?
+
+    Host arrays are checked in numpy; device arrays via a jitted
+    on-device reduction fetching a single scalar. The first version of
+    this check did ``np.asarray(E)`` unconditionally — on a device
+    array that ships the full (m, m) matrix back over the TPU tunnel
+    on EVERY monthly solve (measured: 6 s for m = 4000 where the warm
+    solve itself is ~0.1 s).
+    """
+    import numpy as np
+
+    if isinstance(E, jax.Array):
+        return not bool(_offdiag_any(E))
+    Eh = np.asarray(E)
+    if Eh.ndim == 2:
+        Eh = Eh[None]
+    k = np.arange(Eh.shape[-1])
+    off = Eh.copy()
+    off[:, k, k] = 0.0
+    return not np.any(off)
 
 
 def lowrank_kriging(
@@ -222,6 +320,7 @@ def lowrank_kriging(
         y,
         jax.random.key(0),
         0,
+        e_diag=_is_diagonal(error_cov),
     )
     return LowRankKrigingResult(
         field, jnp.sqrt(jnp.clip(uncert2, 0.0)), cmask
@@ -261,6 +360,7 @@ def lowrank_ensemble_step(
         y,
         key,
         int(n_members),
+        e_diag=_is_diagonal(error_cov),
     )
     res = LowRankKrigingResult(
         field, jnp.sqrt(jnp.clip(uncert2, 0.0)), cmask
@@ -268,14 +368,14 @@ def lowrank_ensemble_step(
     return res, members
 
 
-@partial(jax.jit, static_argnames=("n_members", "diagnostics"))
+@partial(jax.jit, static_argnames=("n_members", "diagnostics", "e_diag"))
 def _lowrank_months_scan(
-    V, g, f, idx_m, obs_m, err_m, key, n_members, diagnostics
+    V, g, f, idx_m, obs_m, err_m, key, n_members, diagnostics, e_diag
 ):
     def one_month(carry, inputs):
         idx, y, E, k = inputs
         field, uncert2, cmask, members = _lowrank_solve_impl(
-            V, g, f, E, idx, y, k, n_members, diagnostics
+            V, g, f, E, idx, y, k, n_members, diagnostics, e_diag
         )
         return carry, (field, uncert2, cmask, members)
 
@@ -327,6 +427,7 @@ def lowrank_months_scan(
         key,
         int(n_members),
         bool(diagnostics),
+        _is_diagonal(error_cov_months),
     )
     res = LowRankKrigingResult(
         field, jnp.sqrt(jnp.clip(uncert2, 0.0)), cmask
@@ -357,10 +458,12 @@ def lowrank_members_from_states(
 
 @jax.jit
 def _members_from_states_jit(V, g, f, E, idx, y, states, eps):
-    # one factorisation shared by the field solve and the member update
-    # (diagnostics and their m^3 triangular work are not needed here)
-    factor, _, _, field, _, _, _ = _factor_and_field(V, g, f, E, idx, y)
+    # one factorisation and ONE stacked solve shared by the field solve
+    # and the member update (diagnostics are not needed here)
+    V_o = V[idx]
+    f_o = f[idx]
     sim_obs = states[:, idx] + eps
-    A = jsl.cho_solve(factor, sim_obs.T)  # (m, members)
+    u, w, A = _stacked_obs_solve(V_o, g, f_o, E, y, sim_obs.T)
+    field, _, _, _ = _field_from_uw(V, g, f, idx, u, w, y)
     grid_sim = _cross_t_apply(V, g, f, idx, A)  # (n, members)
     return field[None, :] + (grid_sim - states.T).T

@@ -15,8 +15,8 @@ so a field with iid coefficients :math:`a_{lm} \sim N(0, \hat c_l)` over
 an orthonormal real harmonic basis has covariance exactly
 :math:`corr(\gamma(x, y))` by the addition theorem. Synthesis on a
 regular lat-lon grid is one (members x l x m) x (l x m x lat) einsum on
-the MXU plus an FFT over longitude — milliseconds for 100 members at
-1 degree, independent of the kernel's correlation range.
+the MXU plus a dense real-DFT matmul over longitude — milliseconds for
+100 members at 1 degree, independent of the kernel's correlation range.
 
 Truncation at l_max discards the spectrum tail; the retained variance
 fraction is reported (``truncation_fraction``) and the remaining
@@ -39,7 +39,14 @@ def angular_power(corr_fn, l_max: int, n_quad: int = 2048) -> np.ndarray:
     Returns \hat c_l for l = 0..l_max via Gauss-Legendre quadrature:
     \hat c_l = 2 pi \int_{-1}^{1} corr(acos t) P_l(t) dt.
     """
-    t, w = np.polynomial.legendre.leggauss(n_quad)
+    try:  # scipy's Newton-iteration nodes are ~16x faster than
+        # numpy's companion-matrix eigensolve at n_quad ~ 4096
+        # (measured 0.6 s vs 10.2 s; nodes agree to 1e-16)
+        from scipy.special import roots_legendre
+
+        t, w = roots_legendre(n_quad)
+    except ImportError:  # scipy is optional at runtime
+        t, w = np.polynomial.legendre.leggauss(n_quad)
     gamma = np.arccos(np.clip(t, -1.0, 1.0))
     f = np.asarray(corr_fn(gamma), dtype=np.float64)
 
@@ -87,13 +94,136 @@ def legendre_table(l_max: int, lats_deg) -> np.ndarray:
     return P
 
 
-@partial(jax.jit, static_argnames=("n_members", "n_lon"))
-def _synthesize(key, c_l, P_table, lon0_rad, n_members: int, n_lon: int):
-    """Draw coefficients and synthesize fields on the (lat, lon) grid."""
+@partial(jax.jit, static_argnames=("l_max",))
+def _legendre_table_device(x, l_max: int):
+    r"""Orthonormal P̃_l^m table computed ON DEVICE (f32-safe).
+
+    Same values as :func:`legendre_table` (host f64 oracle), built with
+    a ``lax.scan`` over l so the (l_max+1, l_max+1, n_lat) table never
+    crosses the host-device link — at 1 degree the f32 table is 47 MB
+    and at 0.25 degree it would be 1.5 GB, while the only input here is
+    the (n_lat,) sin(lat) vector.
+
+    Two f32 hazards shape the implementation:
+
+    1. *Underflow.* P̃_m^m ~ cos(lat)^m dives below the f32 minimum
+       long before the upward recurrence regrows O(1) values at
+       l >> m, so each (m, lat) lane carries a mantissa pair
+       (p_prev, p_cur) plus an INTEGER count k of exact 2^40 rescales;
+       the represented value is p * 2^(40 k).
+    2. *Approximate transcendentals.* XLA's f32 exp/log are polynomial
+       approximations (measured: log abs error up to 1e-4) — a
+       log-space carry seeded with ``m * log cos(lat)`` amplifies that
+       error by m (4e-3 relative by m ~ 50, measured). Hence NOTHING
+       approximate touches the carried state: rescales multiply by the
+       exact constants 2^±40 and bump k, and the only approximate op is
+       the one-shot ``exp2(40 k)`` in each emitted row (~5e-6, never
+       fed back).
+    """
+    dtype = x.dtype
+    L = l_max
+    J = x.shape[0]
+    m_arr = jnp.arange(L + 1, dtype=dtype)
+    sx = jnp.sqrt(jnp.clip(1.0 - x * x, 0.0))  # cos(lat), (J,)
+    up = jnp.asarray(2.0**40, dtype)
+    dn = jnp.asarray(2.0**-40, dtype)
+
+    # diagonal seeds P̃_m^m = prod_k -sqrt((2k+1)/(2k)) cos(lat), as an
+    # exact-rescaled product chain (value = d_p * 2^(40 d_k))
+    def diag_step(carry, m):
+        pd, kd = carry
+        mf = m.astype(dtype)
+        pd = -jnp.sqrt((2.0 * mf + 1.0) / (2.0 * mf)) * sx * pd
+        shrink = jnp.abs(pd) < dn
+        pd = jnp.where(shrink, pd * up, pd)
+        kd = kd - shrink.astype(jnp.int32)
+        return (pd, kd), (pd, kd)
+
+    pd0 = jnp.full((J,), np.sqrt(1.0 / (4.0 * np.pi)), dtype)
+    kd0 = jnp.zeros((J,), jnp.int32)
+    _, (diag_p, diag_k) = jax.lax.scan(
+        diag_step, (pd0, kd0), jnp.arange(1, L + 1)
+    )
+    diag_p = jnp.concatenate([pd0[None], diag_p])  # (L+1, J)
+    diag_k = jnp.concatenate([kd0[None], diag_k])
+
+    def emit(p, k):
+        return p * jnp.exp2(40.0 * k.astype(dtype))
+
+    # carry: mantissa rows p_prev = P[l-1], p_cur = P[l] and their
+    # SHARED per-(m, lat) rescale count k
+    p_prev = jnp.zeros((L + 1, J), dtype)
+    p_cur = jnp.zeros((L + 1, J), dtype).at[0].set(pd0)
+    k0 = jnp.zeros((L + 1, J), jnp.int32)
+    row0 = p_cur  # l = 0 row (k = 0 everywhere; m > 0 lanes are 0)
+
+    def step(carry, l):
+        p_prev, p_cur, k = carry
+        lf = l.astype(dtype)
+        # recurrence coefficients; m >= l lanes produce NaN/inf and are
+        # overwritten by the diagonal injection / validity mask below
+        a = jnp.sqrt((4.0 * lf * lf - 1.0) / (lf * lf - m_arr * m_arr))
+        b = jnp.sqrt(
+            ((lf - 1.0) ** 2 - m_arr * m_arr)
+            / (4.0 * (lf - 1.0) ** 2 - 1.0)
+        )
+        p_next = a[:, None] * (x[None, :] * p_cur - b[:, None] * p_prev)
+        # inject the diagonal at m == l and zero m > l BEFORE the
+        # rescale checks, so the NaN lanes never poison shared state
+        is_diag = m_arr[:, None] == lf
+        valid = m_arr[:, None] <= lf
+        p_next = jnp.where(is_diag, diag_p[l][None, :], p_next)
+        p_next = jnp.where(valid, p_next, 0.0)
+        p_cur = jnp.where(is_diag, 0.0, p_cur)
+        k = jnp.where(is_diag, diag_k[l][None, :], k)
+        k = jnp.where(valid, k, 0)
+        # exact power-of-two renormalisation of the (p_cur, p_next)
+        # pair (shared k): nothing approximate enters the carry
+        mag = jnp.maximum(jnp.abs(p_next), jnp.abs(p_cur))
+        grow = mag > up
+        shrink = (mag > 0.0) & (mag < dn)
+        f = jnp.where(grow, dn, jnp.where(shrink, up, 1.0))
+        p_next = p_next * f
+        p_cur = p_cur * f
+        k = k + grow.astype(jnp.int32) - shrink.astype(jnp.int32)
+        return (p_cur, p_next, k), emit(p_next, k)
+
+    _, rows = jax.lax.scan(
+        step, (p_prev, p_cur, k0), jnp.arange(1, L + 1)
+    )
+    return jnp.concatenate([row0[None], rows], axis=0)
+
+
+def dft_tables(l_max: int, lons_deg) -> np.ndarray:
+    r"""cos/sin synthesis matrices over the grid longitudes.
+
+    Returns (2, l_max+1, n_lon) f64 with entries cos(m lam_q) and
+    sin(m lam_q). The angles m * lam_q are reduced mod 2 pi in f64 ON
+    THE HOST — at l_max ~ 700 the raw angle reaches ~5e3 rad, where f32
+    argument reduction on device would cost ~1e-4 of accuracy.
+    """
+    lam = np.radians(np.asarray(lons_deg, dtype=np.float64))
+    theta = np.mod(np.arange(l_max + 1)[:, None] * lam[None, :],
+                   2.0 * np.pi)
+    return np.stack([np.cos(theta), np.sin(theta)])
+
+
+@partial(jax.jit, static_argnames=("n_members",))
+def _synthesize(key, c_l, P_table, trig, n_members: int):
+    """Draw coefficients and synthesize fields on the (lat, lon) grid.
+
+    Everything is real f32 matmuls: the longitude synthesis
+    f[k, j, q] = sum_m Re(h[k, m, j] e^{i m lam_q}) is evaluated as two
+    dense DFT matmuls against the precomputed `trig` table rather than
+    a scatter + mixed-radix ``ifft`` — on TPU the (m, q) contraction is
+    a trivial MXU op, while the complex-FFT formulation compiled into a
+    pathologically large program (measured: 200+ s remote compile at
+    l_max = 256, n_lon = 360; the matmul form compiles in seconds).
+    """
     L = c_l.shape[0] - 1
     std = jnp.sqrt(c_l)  # (L+1,)
     kc, ks = jax.random.split(key)
-    # a[l, m] real/imag parts; variance c_l for each real basis function
+    # a[l, m] cos/sin parts; variance c_l for each real basis function
     a_cos = (
         jax.random.normal(kc, (n_members, L + 1, L + 1), P_table.dtype)
         * std[None, :, None]
@@ -113,27 +243,16 @@ def _synthesize(key, c_l, P_table, lon0_rad, n_members: int, n_lon: int):
     h_cos = jnp.einsum("klm,lmj->kmj", a_cos, P_table)
     h_sin = jnp.einsum("klm,lmj->kmj", a_sin, P_table)
     sqrt2 = jnp.asarray(np.sqrt(2.0), P_table.dtype)
-    # m = 0 term real with unit weight; m > 0 with sqrt(2)
+    # m = 0 term with unit weight; m > 0 with sqrt(2) (real-harmonic
+    # orthonormalisation)
     weights = jnp.concatenate(
         [jnp.ones((1,), P_table.dtype), jnp.full((L,), sqrt2)]
+    )[None, :, None]
+    # f[k, j, q] = sum_m w_m (h_cos cos(m lam_q) + h_sin sin(m lam_q))
+    f = jnp.einsum("kmj,mq->kjq", h_cos * weights, trig[0]) + jnp.einsum(
+        "kmj,mq->kjq", h_sin * weights, trig[1]
     )
-    h = (h_cos - 1j * h_sin) * weights[None, :, None]
-    # rotate to the grid's first longitude
-    m_arr = jnp.arange(L + 1)
-    h = h * jnp.exp(1j * m_arr * lon0_rad)[None, :, None]
-    # f[k, j, lon] = Re sum_m h[k, m, j] e^{2 pi i m q / n_lon}. Evaluating
-    # at n_lon equispaced longitudes, modes fold exactly modulo n_lon
-    # (e^{2 pi i m q / n} depends only on m mod n), so scatter-add into
-    # the FFT spectrum is exact even when l_max + 1 > n_lon.
-    spec = jnp.zeros(
-        (h.shape[0], n_lon, h.shape[2]), dtype=h.dtype
-    )
-    spec = spec.at[:, m_arr % n_lon, :].add(h)
-    f = jnp.real(jnp.fft.ifft(spec, axis=1)) * n_lon
-    # m=0 double-counted relative to Re(sum over +-m)? No: we summed only
-    # m >= 0 with the real-part convention, which is exactly the real
-    # harmonic expansion.
-    return jnp.transpose(f, (0, 2, 1))  # (members, lat, lon)
+    return f  # (members, lat, lon)
 
 
 class SphericalHarmonicSampler:
@@ -160,6 +279,10 @@ class SphericalHarmonicSampler:
         XLA compile, not two. The synthesis program is large (the
         (members, l, m) einsum at l_max ~ 256 compiles in seconds), so
         per-count recompiles were the dominant cost of small draws.
+    table : str
+        "device" (default) builds the Legendre table on device via the
+        scaled-scan recurrence (no bulk host->device transfer); "host"
+        computes it in f64 numpy (the oracle path) and transfers it.
     """
 
     def __init__(
@@ -173,6 +296,7 @@ class SphericalHarmonicSampler:
         n_quad: int = 4096,
         dtype=jnp.float32,
         member_batch: int = 64,
+        table: str = "device",
     ):
         lats_deg = np.asarray(lats_deg)
         lons_deg = np.asarray(lons_deg)
@@ -190,8 +314,18 @@ class SphericalHarmonicSampler:
         # truncated series reproduces `total` of it.
         self.truncation_fraction = float(total / corr_fn(np.zeros(1))[0])
         self.c_l = jnp.asarray(variance * c_l, dtype)
-        self.P_table = jnp.asarray(legendre_table(l_max, lats_deg), dtype)
-        self.lon0_rad = float(np.radians(lons_deg[0]))
+        if table == "device":
+            # build the (l, m, lat) table in HBM from the (n_lat,)
+            # sin(lat) vector: the f32 table is 47 MB at 1 degree /
+            # 1.5 GB at 0.25 degree, and host->device bandwidth is the
+            # least reliable resource in the pipeline
+            x = jnp.asarray(np.sin(np.radians(lats_deg)), dtype)
+            self.P_table = _legendre_table_device(x, l_max)
+        else:  # "host": f64 oracle recurrence, then one bulk transfer
+            self.P_table = jnp.asarray(
+                legendre_table(l_max, lats_deg), dtype
+            )
+        self.trig = jnp.asarray(dft_tables(l_max, lons_deg), dtype)
         self._dtype = dtype
         self.member_batch = int(member_batch)
 
@@ -210,12 +344,7 @@ class SphericalHarmonicSampler:
         B = self.member_batch
         n_eff = B * (-(-n_members // B))
         flat = _synthesize(
-            key,
-            self.c_l,
-            self.P_table,
-            jnp.asarray(self.lon0_rad, self._dtype),
-            n_eff,
-            self.n_lon,
+            key, self.c_l, self.P_table, self.trig, n_eff
         ).reshape(n_eff, self.n_lat * self.n_lon)[:n_members]
         if self.nugget > 0.0:
             flat = flat + jnp.sqrt(

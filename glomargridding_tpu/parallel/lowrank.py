@@ -29,7 +29,11 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..models.lowrank import LowRankKrigingResult, _lowrank_solve_impl
+from ..models.lowrank import (
+    LowRankKrigingResult,
+    _is_diagonal,
+    _lowrank_solve_impl,
+)
 from ..ops.covariance_tools import LowRankPSD
 
 
@@ -51,7 +55,7 @@ def _sharded_solve_fn(mesh):
         mem = NamedSharding(mesh, P("ens", "grid"))
         fn = jax.jit(
             _lowrank_solve_impl,
-            static_argnames=("n_members",),
+            static_argnames=("n_members", "diagnostics", "e_diag"),
             out_shardings=(vec, vec, vec, mem),
         )
         _SOLVE_JIT_BY_MESH[mesh] = fn
@@ -82,7 +86,8 @@ def sharded_lowrank_kriging(
     V, g, f, idx, y, E = _put(mesh, psd, idx, obs, error_cov)
     fn = _sharded_solve_fn(mesh)
     field, uncert2, cmask, _ = fn(
-        V, g, f, E, idx, y, jax.random.key(0), 0
+        V, g, f, E, idx, y, jax.random.key(0), 0,
+        e_diag=_is_diagonal(error_cov),
     )
     return LowRankKrigingResult(
         field, jnp.sqrt(jnp.clip(uncert2, 0.0)), cmask
@@ -111,7 +116,8 @@ def sharded_lowrank_ensemble_step(
     V, g, f, idx, y, E = _put(mesh, psd, idx, obs, error_cov)
     fn = _sharded_solve_fn(mesh)
     field, uncert2, cmask, members = fn(
-        V, g, f, E, idx, y, key, int(n_members)
+        V, g, f, E, idx, y, key, int(n_members),
+        e_diag=_is_diagonal(error_cov),
     )
     res = LowRankKrigingResult(
         field, jnp.sqrt(jnp.clip(uncert2, 0.0)), cmask

@@ -284,3 +284,45 @@ def test_duplicate_obs_indices_warn(rng):
     with warnings.catch_warnings():
         warnings.simplefilter("error")
         assert check_idx_unique(idx, E)
+
+
+def test_woodbury_route_matches_dense_cholesky_route(rng):
+    """e_diag=True (Woodbury, r-sized solves only) == e_diag=False.
+
+    With a diagonal E the obs-noise draws coincide exactly
+    (cholesky(diag) = sqrt(diag)), so field, diagnostics AND members
+    must match the m-Cholesky route to solver tolerance.
+    """
+    import jax
+
+    from glomargridding_tpu.models.lowrank import _lowrank_solve_impl
+    from glomargridding_tpu.ops.covariance_tools import LowRankPSD
+
+    n, r, m = 400, 48, 120
+    Q, _ = np.linalg.qr(rng.normal(size=(n, r)))
+    g = np.sort(rng.uniform(0.5, 30.0, r))[::-1].copy()
+    g[-8:] = 0.0  # pad_rank-style zero-gain columns ride along
+    psd = LowRankPSD(
+        jnp.asarray(Q, jnp.float32),
+        jnp.asarray(g, jnp.float32),
+        jnp.asarray(np.full(n, 0.3, np.float32)),
+    )
+    idx = jnp.asarray(np.sort(rng.choice(n, m, replace=False)))
+    y = jnp.asarray(rng.normal(size=m).astype(np.float32))
+    E = jnp.asarray(np.diag(rng.uniform(0.05, 0.4, m)).astype(np.float32))
+
+    key = jax.random.key(7)
+    outs = {}
+    for flag in (False, True):
+        outs[flag] = _lowrank_solve_impl(
+            psd.vectors, psd.gains, psd.floor, E, idx, y, key,
+            8, True, flag,
+        )
+    for a, b, name in zip(
+        outs[False], outs[True],
+        ("field", "uncert2", "cmask", "members"),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
+            err_msg=name,
+        )

@@ -138,9 +138,9 @@ def test_draw_counts_share_one_compiled_program():
     calls = []
     real = sphere._synthesize
 
-    def spy(key, c_l, P, lon0, n_members, n_lon):
+    def spy(key, c_l, P, trig, n_members):
         calls.append(n_members)
-        return real(key, c_l, P, lon0, n_members, n_lon)
+        return real(key, c_l, P, trig, n_members)
 
     sphere._synthesize, orig = spy, sphere._synthesize
     try:
@@ -161,3 +161,53 @@ def test_draw_counts_share_one_compiled_program():
     # distribution unchanged: unit variance to sampling noise
     big = np.asarray(sampler.draw(jax.random.key(4), 4000))
     assert abs(big.var() - 1.0) < 0.1
+
+
+def test_device_legendre_table_matches_f64_oracle():
+    """On-device scaled-scan table == host f64 recurrence to f32 limits.
+
+    Also pins the underflow protection: a plain f32 recurrence loses
+    every (l, m, lat) whose diagonal seed cos(lat)^m flushes below the
+    f32 minimum (0.02 absolute error by l_max = 256); the exact 2^40
+    rescaling keeps those lanes (measured ~2e-4 relative here).
+    """
+    import jax.numpy as jnp
+
+    from glomargridding_tpu.ops.sphere import _legendre_table_device
+
+    lats = np.arange(-89.5, 90.0, 1.0)
+    L = 256
+    host = legendre_table(L, lats)
+    dev = np.asarray(
+        _legendre_table_device(
+            jnp.asarray(np.sin(np.radians(lats)), jnp.float32), L
+        )
+    )
+    assert np.abs(dev - host).max() < 2e-3
+    # pin that the 2^40 rescaling is doing real work: the SAME
+    # recurrence run in plain f32 (diagonal seeded as an unscaled
+    # product, exactly like the f64 oracle but narrow) flushes
+    # cos(lat)^m seeds to zero and loses the values regrown at l >> m
+    plain = np.zeros_like(host, dtype=np.float32)
+    x32 = np.sin(np.radians(lats)).astype(np.float32)
+    sx32 = np.sqrt(np.maximum(1 - x32 * x32, 0)).astype(np.float32)
+    plain[0, 0] = np.float32(np.sqrt(1 / (4 * np.pi)))
+    for m in range(1, L + 1):
+        plain[m, m] = (
+            -np.float32(np.sqrt((2 * m + 1) / (2.0 * m)))
+            * sx32 * plain[m - 1, m - 1]
+        )
+    for m in range(L):
+        plain[m + 1, m] = x32 * np.float32(np.sqrt(2 * m + 3.0)) * plain[m, m]
+    for l in range(2, L + 1):
+        m = np.arange(l - 1)
+        a = np.sqrt((4.0 * l * l - 1) / (l * l - m * m)).astype(np.float32)
+        b = np.sqrt(
+            ((l - 1.0) ** 2 - m * m) / (4.0 * (l - 1.0) ** 2 - 1)
+        ).astype(np.float32)
+        plain[l, : l - 1] = a[:, None] * (
+            x32[None, :] * plain[l - 1, : l - 1] - b[:, None] * plain[l - 2, : l - 1]
+        )
+    plain_err = np.abs(plain - host).max()
+    assert plain_err > 5e-3, plain_err  # underflow visibly bites...
+    assert np.abs(dev - host).max() < plain_err / 2  # ...and we don't
