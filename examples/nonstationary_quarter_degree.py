@@ -1,27 +1,41 @@
-"""Quarter-degree (0.25deg, n = 259,200) non-stationary pipeline on ONE
-chip with ZERO covariance storage.
+"""FULL half-degree-class (n = 259,200) non-stationary pipeline on ONE
+chip: whole-grid MLE -> zero-storage covariance -> matvec-only PSD
+repair -> factored 100-member ensemble.
 
-At this size even the bf16 store is impossible (259k^2 bf16 = 134 GB),
-let alone the reference's dense f32 path (269 GB; its pair LOOP above
-10k points would take days). Here ``store="stream"`` rebuilds
-Paciorek-Schervish covariance tiles from the kernel inside every
-operator application under ``lax.scan`` — O(n * block) memory — so:
+Every stage that is impossible for the reference at this size runs
+end-to-end here:
 
-  1. the randomized PSD repair (``explained_variance_clip_lowrank``)
-     sees only matvecs: ~(n_iter + 2) full-kernel sweeps;
-  2. the repaired covariance comes back FACTORED (LowRankPSD, n*r
-     floats = 265 MB at rank 256);
-  3. kriging + a 100-member two-stage ensemble run off the factors.
+  1. whole-grid ellipse MLE at 259,200 points. The empirical
+     correlation is LAZY (``EllipseBuilder(cor_mode="auto")``): the
+     dense matrix would be 269 GB, so each fit chunk rebuilds its
+     correlation rows inside the compiled program from the (T, n)
+     normalised training samples — one (B, T) x (T, n) matmul. 254
+     chunks of 1024 batched Nelder-Mead fits (the 2048 default would
+     peak at 15.8 GB of (B, N) temps and OOM a 16 GB v5e; see
+     ``compute_params``'s automatic cap);
+  2. ``store="stream"``: Paciorek-Schervish covariance tiles are
+     rebuilt from the fitted parameter fields inside every operator
+     application under ``lax.scan`` — O(n * block) memory, 0 bytes
+     stored (dense f32 would be 269 GB; even bf16 134 GB);
+  3. the randomized PSD repair (``explained_variance_clip_lowrank``)
+     sees only matvecs, and returns the covariance FACTORED
+     (LowRankPSD, n*r floats = ~1 GB at rank 1024);
+  4. kriging + a 100-member two-stage ensemble run off the factors
+     through the Woodbury observation solve (diagonal obs error).
 
-Measured (one v5e chip, 2026-08-17, warm compile cache): warm-up
-sweep ~2 min (synthetic-field build + first sweep), matvec-only PSD
-repair 17 s (trace to 1.4e-07; the fused x^v K_v streamed tiles cut
-this from round 2's 75 s), kriging + 100 members 0.63 s/step warm;
-member spread 0.302 vs posterior kriging uncertainty 0.302.
+Measured (one v5e chip, warm compile cache, 2026-08-18): training cube
+6.1 s (device-resident — EllipseBuilder takes the jax.Array, no 62 MB
+host round-trip), lazy correlation 5.9 s, whole-grid MLE 96 s
+(259,104 of 259,200 fits converged; 254 chunks), stream-operator
+warm-up sweep 10.6 s, PSD repair 37.6 s (rank 1152, trace to 2.4e-7),
+kriging + 100 members 2.1 s first dispatch / 0.08 s warm (diagonal
+obs-error vector -> Woodbury route). First-ever run adds one-time XLA
+compiles (persisted by ``config.enable_compile_cache``).
 
 Run: python examples/nonstationary_quarter_degree.py
 (reference anchor: ellipse/covariance.py:206-215 — dense-only, auto-
-downgrades to a pair loop above 10,000 points)
+downgrades to a pair loop above 10,000 points; estimate.py:151-180
+materialises the dense empirical covariance)
 """
 
 import os
@@ -38,7 +52,9 @@ except ImportError:
 import jax
 import jax.numpy as jnp
 
+from glomargridding_tpu.core.labeled import Coordinates
 from glomargridding_tpu.models import lowrank_ensemble_step
+from glomargridding_tpu.models.ellipse import EllipseBuilder, EllipseModel
 from glomargridding_tpu.models.ellipse.covariance import (
     ellipse_covariance_operator,
 )
@@ -46,8 +62,17 @@ from glomargridding_tpu.ops.covariance_tools import (
     explained_variance_clip_lowrank,
 )
 from glomargridding_tpu.ops.distances import sigma_rot_flat
+from glomargridding_tpu.ops.sphere import SphericalHarmonicSampler
 
 M_LAT, M_LON = 360, 720
+T_TRAIN = 60
+# e-folding ~1000 km (same training field as the 1-degree pipeline):
+# the retained rank of the 0.90-variance clip depends on the ANGULAR
+# spectrum, not the grid resolution, so this keeps the repair at rank
+# ~700-900 — a 400 km-range field would demand rank >> 2048 and the
+# (n, width) eigensolver blocks would not fit 16 GB at n = 259k
+TRAIN_RANGE_KM = 3000.0
+EARTH_KM = 6371.0
 N_OBS = 5000
 N_MEMBERS = 100
 
@@ -69,11 +94,66 @@ def main():
     n = glat.shape[0]
     print(f"n = {n} grid cells, backend={jax.default_backend()}")
 
-    coslat = np.cos(np.radians(glat))
-    Lx = (2000.0 + 1500.0 * coslat**2).astype(np.float32)
-    Ly = (1500.0 + 600.0 * coslat).astype(np.float32)
-    theta = (0.3 * np.sin(np.radians(2.0 * glat))).astype(np.float32)
-    stdev = (0.6 + 0.5 * coslat).astype(np.float32)
+    # 1 -- training cube: exact stationary spherical-harmonic draws
+    t0 = time.perf_counter()
+    r = TRAIN_RANGE_KM / 3.0 / EARTH_KM
+    sampler = SphericalHarmonicSampler(
+        lambda ang: np.exp(-ang / r), 1.0, lat, lon,
+        nugget=0.05, l_max=256,
+    )
+    # the cube STAYS on device: EllipseBuilder takes a jax.Array and
+    # never round-trips the 62 MB through the host link
+    cube = sampler.draw(jax.random.key(0), T_TRAIN).reshape(
+        T_TRAIN, M_LAT, M_LON
+    )
+    float(cube[0, 0, 0])  # sync
+    t0 = stage(f"training cube ({T_TRAIN} states, on device)", t0)
+
+    # 2 -- lazy empirical correlation: no (n, n) matrix ever exists
+    coords = Coordinates(
+        {"time": np.arange(T_TRAIN), "latitude": lat, "longitude": lon}
+    )
+    builder = EllipseBuilder(cube, coords)  # auto -> lazy above 100k
+    float(builder.cor[0, 0])  # sync (one on-demand row)
+    t0 = stage("lazy empirical correlation (row build)", t0)
+
+    # 3 -- whole-grid MLE: 259,200 batched fits, correlation rows
+    # rebuilt per chunk from the training samples
+    ellipse = EllipseModel(
+        anisotropic=True, rotated=True, physical_distance=True,
+        v=1.5, unit_sigma=True,
+    )
+    params = builder.compute_params(
+        default_value=[-999.9, -999.9, -999.9, -999.9, -1, -1],
+        matern_ellipse=ellipse,
+        max_distance=6000.0,
+        guesses=[2000.0, 2000.0, 0.0],
+        bounds=[
+            (300.0, 30000.0),
+            (300.0, 30000.0),
+            (-2.0 * np.pi, 2.0 * np.pi),
+        ],
+        tol=1e-3,
+        chunk_size=1024,     # (B, N) fit temps: 2048 would OOM 16 GB
+        max_train_cols=2048,  # ~1400 km window at this resolution
+    )
+    Lx = params["Lx"].values.ravel().astype(np.float32)
+    Ly = params["Ly"].values.ravel().astype(np.float32)
+    theta = params["theta"].values.ravel().astype(np.float32)
+    stdev = (
+        params["standard_deviation"].values.ravel().astype(np.float32)
+    )
+    qc = params["qc_code"].values.ravel()
+    good = (Lx > 0) & (qc != 9)
+    n_fit = int(good.sum())
+    t0 = stage(f"whole-grid MLE ({n_fit} converged fits)", t0)
+
+    # failed fits (if any) fall back to the global median ellipse so
+    # the operator keeps every grid cell
+    if n_fit < n:
+        for arr in (Lx, Ly, theta, stdev):
+            arr[~good] = np.median(arr[good])
+        print(f"    {n - n_fit} failed fits -> median-ellipse fallback")
 
     la = jnp.radians(jnp.asarray(glat))
     lo = jnp.radians(jnp.asarray(glon))
@@ -83,18 +163,21 @@ def main():
     sig = jnp.stack([s00, s01, s11], axis=-1)
     sqd = jnp.sqrt(s00 * s11 - s01 * s01)
 
-    t0 = time.perf_counter()
+    # 4 -- zero-storage streamed operator over the FITTED fields
     mv, n_op, trace = ellipse_covariance_operator(
         la, lo, sig, sqd, jnp.asarray(stdev), v=1.5, store="stream"
     )
     float(mv(jnp.ones((n,), jnp.float32))[0])  # compile + one sweep
     t0 = stage("stream operator (1 warm-up sweep, 0 bytes)", t0)
 
+    # 5 -- matvec-only PSD repair, factored result
     psd = explained_variance_clip_lowrank(
         mv, n=n_op, trace=trace,
         target_variance_fraction=0.90,
         key=jax.random.key(1),
-        k0=1024, max_rank=4096, n_iter=3, rank_multiple=128,
+        # max_rank 2048: a (259200, 4096) eigensolver block is 4.4 GB
+        # and the stage's ~5 live blocks would exceed HBM
+        k0=1024, max_rank=2048, n_iter=3, rank_multiple=128,
     )
     true_rank = psd.rank
     psd = psd.pad_rank(256)
@@ -106,11 +189,14 @@ def main():
         f"    trace preserved to {abs(psd.trace() - trace) / trace:.2e}"
     )
 
+    # 6 -- kriging + two-stage ensemble off the factors (Woodbury)
     rng = np.random.default_rng(7)
     idx = np.sort(rng.choice(n, N_OBS, replace=False))
     truth = np.asarray(psd.draw(jax.random.key(2), 1))[0]
     y = truth[idx] + 0.3 * rng.normal(size=N_OBS).astype(np.float32)
-    E = np.diag(np.full(N_OBS, 0.09, np.float32))
+    # the (m,) DIAGONAL, not np.diag(...): uploading m^2 zeros is
+    # 100 MB over the host->device link at m = 5000
+    E = np.full(N_OBS, 0.09, np.float32)
 
     res, members = lowrank_ensemble_step(
         psd, idx, y, E, jax.random.key(3), n_members=N_MEMBERS

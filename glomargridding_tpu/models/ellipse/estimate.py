@@ -38,10 +38,17 @@ from .model import ARCTANH_THRESHOLD, EllipseModel
 
 
 @jax.jit
-def _cor_matmul(x):
+def _normalised_samples(x):
+    """Variance-normalise centred (T, n) samples so xn'xn is the
+    empirical correlation."""
     var = jnp.einsum("tn,tn->n", x, x)
     inv_s = jnp.where(var > 0, 1.0 / jnp.sqrt(var), 0.0)
-    xn = x * inv_s[None, :]
+    return x * inv_s[None, :]
+
+
+@jax.jit
+def _cor_matmul(x):
+    xn = _normalised_samples(x)
     return xn.T @ xn
 
 
@@ -146,6 +153,7 @@ def _train_geometry_arrays(
         "physical_distance_selection",
         "max_train_cols",
         "fisher_z",
+        "lazy_cor",
     ),
 )
 def _chunk_train_data(
@@ -162,6 +170,7 @@ def _chunk_train_data(
     physical_distance_selection: bool,
     max_train_cols,
     fisher_z: bool = False,
+    lazy_cor: bool = False,
 ):
     """One chunk's full training data (X, y, w) as ONE compiled program.
 
@@ -176,6 +185,14 @@ def _chunk_train_data(
     objectives: the transform is constant across optimizer iterations,
     so computing it here removes one log per element per candidate
     evaluation from the transcendental-bound fit loop.
+
+    With ``lazy_cor=True``, `cor` is NOT the (n, n) correlation but the
+    (T, n) variance-normalised centred samples, and the chunk's
+    correlation rows are rebuilt inside this same program as one
+    (B, T) x (T, n) matmul — the (n, n) matrix never exists, which is
+    what makes whole-grid fits possible past ~10^5 points (259k
+    dense correlation = 269 GB). Exact unit self-correlation is
+    re-imposed at [b, centre_sel[b]] for parity with the dense path.
     """
     X, w = _train_geometry_arrays(
         lats_all,
@@ -188,7 +205,12 @@ def _chunk_train_data(
         physical_distance=physical_distance,
         physical_distance_selection=physical_distance_selection,
     )
-    y = cor[centre_sel, :]
+    if lazy_cor:
+        xn = cor  # (T, n) normalised samples
+        y = xn[:, centre_sel].T @ xn  # (B, n) correlation rows
+        y = y.at[jnp.arange(centre_sel.shape[0]), centre_sel].set(1.0)
+    else:
+        y = cor[centre_sel, :]
     if max_train_cols is not None and max_train_cols < y.shape[1]:
         X, y, w = _nearest_train_cols(X, y, w, max_train_cols, anisotropic)
     if fisher_z:
@@ -202,6 +224,60 @@ def _chunk_train_data(
     return X, y, w
 
 
+@jax.jit
+def _lazy_cor_row(xn, i):
+    """One correlation row from the normalised samples, exact unit
+    self-correlation."""
+    return (xn[:, i] @ xn).at[i].set(1.0)
+
+
+class _LazyCorrelation:
+    """Row-on-demand empirical correlation: cor[i, j] = xn[:, i]·xn[:, j].
+
+    Holds only the (T, n) variance-normalised centred samples; a row is
+    one (T,) x (T, n) matvec on device. Supports the row-access patterns
+    the estimation pipeline uses (``cor[i, :]``, ``cor[i, j]``); whole-
+    matrix reads raise rather than silently materialising n² floats
+    (269 GB at the 259k quarter-degree-class grid — the size this class
+    exists to avoid).
+    """
+
+    def __init__(self, xn) -> None:
+        self._xn = xn
+        n = int(xn.shape[1])
+        self.shape = (n, n)
+        self.dtype = xn.dtype
+
+    @property
+    def normalised_samples(self):
+        """The (T, n) variance-normalised centred samples."""
+        return self._xn
+
+    def row(self, i: int):
+        """Correlation row i as a device (n,) array."""
+        return _lazy_cor_row(self._xn, int(i))
+
+    def __getitem__(self, key):
+        if isinstance(key, tuple) and len(key) == 2:
+            i, j = key
+            if isinstance(i, (int, np.integer)):
+                r = self.row(int(i))
+                if isinstance(j, slice) and j == slice(None):
+                    return r
+                return r[j]
+        raise TypeError(
+            "lazy correlation supports cor[i, :] / cor[i, j] row access "
+            "only; use .normalised_samples for bulk computation or "
+            "cor_mode='dense' to materialise the full matrix"
+        )
+
+    def __array__(self, dtype=None, copy=None):
+        raise MemoryError(
+            f"refusing to materialise the {self.shape} lazy correlation "
+            "(use cor_mode='dense' if it fits in memory)"
+        )
+
+
 class EllipseBuilder:
     """Build spatial covariance/correlation and fit ellipse parameters.
 
@@ -209,15 +285,38 @@ class EllipseBuilder:
     NaNs also count as masked). `coords` must contain "time", "latitude",
     "longitude" with time as dimension 0. Points masked at ANY time are
     dropped (parity: reference ``estimate.py:119-149``).
+
+    A `jax.Array` cube stays ON DEVICE end-to-end: the mask is detected
+    by a device reduction (NaN = masked; only the small (lat, lon) bool
+    map is fetched), the kept columns are a device gather, and
+    ``self.data`` remains the device array. With a host cube the 259k
+    half-degree pipeline paid a device->host->device round-trip of the
+    62 MB training cube through the remote tunnel (measured 20-150 s at
+    its 0.4-3 MB/s) just to do mask bookkeeping numpy could not avoid.
+
+    `cor_mode` controls the empirical correlation representation:
+    ``"dense"`` materialises the (n, n) matrix on device (reference
+    semantics; ~8 GB at the 1-degree 44k-point scale), ``"lazy"`` keeps
+    only the (T, n) normalised samples and rebuilds correlation rows
+    on demand inside the fit programs (exact same values; the only
+    path that scales past ~10^5 points), ``"auto"`` (default) picks
+    lazy above 100,000 unmasked points.
     """
 
-    def __init__(self, data_array: np.ndarray, coords) -> None:
-        if isinstance(data_array, np.ma.MaskedArray):
+    def __init__(
+        self, data_array: np.ndarray, coords, cor_mode: str = "auto"
+    ) -> None:
+        if cor_mode not in ("auto", "dense", "lazy"):
+            raise ValueError("cor_mode must be 'auto', 'dense' or 'lazy'")
+        self.cor_mode = cor_mode
+        if isinstance(data_array, jax.Array):
+            self.data = data_array  # device-resident path
+        elif isinstance(data_array, np.ma.MaskedArray):
             self.data = data_array
         else:
             self.data = np.ma.MaskedArray(data_array)
         self.coords = coords
-        self.xy_shape = self.data[0].shape
+        self.xy_shape = tuple(self.data.shape[1:])
         if len(self.xy_shape) != 2:
             raise ValueError(
                 "Time slice maps should be 2D; check extra dims (ensemble?)"
@@ -252,20 +351,29 @@ class EllipseBuilder:
         self.time_n = len(np.asarray(self.coords["time"]))
 
     def _detect_mask(self) -> None:
-        nan_mask = np.isnan(np.ma.getdata(self.data))
-        base_mask = np.ma.getmaskarray(self.data) | nan_mask
-        self.data = np.ma.masked_where(base_mask, self.data)
-        self.data_has_mask = bool(base_mask.any())
-        if self.data_has_mask:
-            # time-varying masks (sea ice): any-time-masked -> dropped
-            self.mask = np.any(base_mask, axis=0)
+        if isinstance(self.data, jax.Array):
+            # device cube: NaN = masked; fetch only the (lat, lon) map
+            self.mask = np.asarray(
+                jnp.any(jnp.isnan(self.data), axis=0)
+            )
+            self.data_has_mask = bool(self.mask.any())
             self.mask_1D = self.mask.flatten()
-            self._self_mask()
             self.small_covar_size = int(np.sum(~self.mask))
         else:
-            self.mask = np.zeros_like(self.data[0], dtype=bool)
-            self.mask_1D = self.mask.flatten()
-            self.small_covar_size = self.big_covar_size
+            nan_mask = np.isnan(np.ma.getdata(self.data))
+            base_mask = np.ma.getmaskarray(self.data) | nan_mask
+            self.data = np.ma.masked_where(base_mask, self.data)
+            self.data_has_mask = bool(base_mask.any())
+            if self.data_has_mask:
+                # time-varying masks (sea ice): any-time-masked dropped
+                self.mask = np.any(base_mask, axis=0)
+                self.mask_1D = self.mask.flatten()
+                self._self_mask()
+                self.small_covar_size = int(np.sum(~self.mask))
+            else:
+                self.mask = np.zeros(self.xy_shape, dtype=bool)
+                self.mask_1D = self.mask.flatten()
+                self.small_covar_size = self.big_covar_size
         self.x_masked = np.ma.masked_where(self.mask, self.xx)
         self.y_masked = np.ma.masked_where(self.mask, self.yy)
         self.xi_masked = np.ma.masked_where(self.mask, self.xi).compressed()
@@ -294,20 +402,47 @@ class EllipseBuilder:
         build, and holding cov AND cor exceeds one chip's HBM), and
         ``cov`` is a lazy property recomputed from the retained (T, n)
         centred samples on access. numpy consumers go through
-        ``__array__`` transparently.
+        ``__array__`` transparently. Past ~10^5 points (``cor_mode
+        "auto"``/"lazy") even the single correlation buffer is too big
+        (269 GB at 259k): ``self.cor`` becomes a
+        :class:`_LazyCorrelation` that rebuilds rows on demand, and the
+        batched fit rebuilds each chunk's rows inside its compiled
+        program.
         """
-        flat = self.data.reshape((self.time_n, self.big_covar_size))
-        kept = np.ma.getdata(flat)[:, ~self.mask_1D]
-        x = jnp.asarray(kept)
+        if isinstance(self.data, jax.Array):
+            flat = self.data.reshape((self.time_n, self.big_covar_size))
+            if self.data_has_mask:
+                # device gather of the kept columns (static host index)
+                keep = jnp.asarray(np.where(~self.mask_1D)[0])
+                x = flat[:, keep]
+            else:
+                x = flat
+        else:
+            flat = self.data.reshape(
+                (self.time_n, self.big_covar_size)
+            )
+            kept = np.ma.getdata(flat)[:, ~self.mask_1D]
+            x = jnp.asarray(kept)
         x = x - jnp.mean(x, axis=0, keepdims=True)
         self._x_centered = x
         self._rounding = rounding
         self._cov_diagonal = None  # derived cache: invalidate on recompute
+        lazy = self.cor_mode == "lazy" or (
+            self.cor_mode == "auto" and self.small_covar_size > 100_000
+        )
         if rounding is not None:
+            if lazy and self.cor_mode == "lazy":
+                raise ValueError(
+                    "rounding requires the dense correlation "
+                    "(cor_mode='dense')"
+                )
             # rare parity path (reference rounds cov before normalising)
             self.cor = cov_2_cor(
                 jnp.round(self._cov_matrix(), rounding), rounding=rounding
             )
+            return
+        if lazy:
+            self.cor = _LazyCorrelation(_normalised_samples(x))
             return
         # one fused dispatch: under jit the unit-diagonal write updates
         # the matmul result IN PLACE — eager .at[].set would allocate a
@@ -592,11 +727,28 @@ class EllipseBuilder:
         if n_points == 0:
             return params
 
+        # the per-chunk build materialises (B, N)-shaped geometry and a
+        # packed top-k payload — ~32 B bytes per (B, N) pair at f32.
+        # Cap B so those temps stay under ~10 GB of HBM: at the 259k
+        # quarter-degree-class grid, B = 2048 peaks at 15.8 GB (OOM on
+        # a 16 GB v5e) while B = 1024 fits with headroom.
+        cap = max(256, int(10e9 / (32 * n_points)))
+        if chunk_size > cap:
+            cap -= cap % 256
+            warn(
+                f"chunk_size {chunk_size} -> {cap}: (B, N) fit temps "
+                f"at N={n_points} would exceed device memory"
+            )
+            chunk_size = cap
+
         x0_single, (lo, hi), bounds_out = matern_ellipse._fit_setup(
             guesses, bounds
         )
         d = x0_single.shape[0]
-        cor_dev = jnp.asarray(self.cor)
+        lazy = isinstance(self.cor, _LazyCorrelation)
+        cor_dev = (
+            self.cor.normalised_samples if lazy else jnp.asarray(self.cor)
+        )
         lats_all_dev = jnp.asarray(self.xy_masked[:, 1])
         lons_all_dev = jnp.asarray(self.xy_masked[:, 0])
 
@@ -632,6 +784,7 @@ class EllipseBuilder:
                 physical_distance_selection=physical_distance_selection,
                 max_train_cols=max_train_cols,
                 fisher_z=True,
+                lazy_cor=lazy,
             )
             x0 = jnp.broadcast_to(x0_single, (len(sel), d))
 

@@ -72,7 +72,15 @@ def check_idx_unique(idx, error_cov=None, pad_error: float = 1e6):
 
     idx_h = np.asarray(idx)
     if error_cov is not None:
-        ediag = np.asarray(jnp.diagonal(jnp.asarray(error_cov)))
+        if isinstance(error_cov, jax.Array):
+            ediag = np.asarray(
+                error_cov
+                if error_cov.ndim == 1
+                else jnp.diagonal(error_cov)
+            )
+        else:  # host array: no device round-trip for the check
+            Eh = np.asarray(error_cov)
+            ediag = Eh if Eh.ndim == 1 else np.diagonal(Eh)
         idx_h = idx_h[ediag < pad_error]
     uniq, counts = np.unique(idx_h, return_counts=True)
     n_dup = int((counts > 1).sum())
@@ -166,6 +174,17 @@ def _lowrank_solve_impl(
     V_o = V[idx]
     f_o = f[idx]
 
+    # E may be the (m,) DIAGONAL of a diagonal error covariance — the
+    # m^2-free form the public wrappers pass through for diagonal E
+    # (uploading a dense np.diag at m = 5000 is 100 MB over the
+    # host->device link; the diagonal is 20 KB)
+    if E.ndim == 1:
+        e_vec = E
+        if not e_diag:  # caller bypassed the wrappers: stay correct
+            E = jnp.diag(E)
+    else:
+        e_vec = jnp.diagonal(E)
+
     # draw states and simulated observations FIRST so they can join the
     # single stacked solve
     if n_members > 0:
@@ -178,7 +197,7 @@ def _lowrank_solve_impl(
         )  # (n, members)
         zo = jax.random.normal(k_obs, (m, n_members), dtype)
         if e_diag:
-            eps = jnp.sqrt(jnp.diagonal(E))[:, None] * zo
+            eps = jnp.sqrt(e_vec)[:, None] * zo
         else:
             eps = jnp.linalg.cholesky(E) @ zo
         sim_obs = states[idx] + eps  # (m, members)
@@ -191,7 +210,7 @@ def _lowrank_solve_impl(
         # r-sized: the m^3 Cholesky disappears, and with it the m-wide
         # triangular kernels whose serialized executables dominated the
         # program (50 MB -> a few MB) and the cold-process load time.
-        d = f_o + jnp.diagonal(E)
+        d = f_o + e_vec
         U = V_o * jnp.sqrt(g)[None, :]
         DiU = U / d[:, None]
         W = jnp.eye(r, dtype=dtype) + U.T @ DiU
@@ -287,8 +306,12 @@ def _is_diagonal(E) -> bool:
     import numpy as np
 
     if isinstance(E, jax.Array):
+        if E.ndim == 1:
+            return True  # a 1-D error_cov IS the diagonal
         return not bool(_offdiag_any(E))
     Eh = np.asarray(E)
+    if Eh.ndim == 1:
+        return True
     if Eh.ndim == 2:
         Eh = Eh[None]
     k = np.arange(Eh.shape[-1])
@@ -303,10 +326,13 @@ def lowrank_kriging(
     """Ordinary kriging against a factored (clipped) covariance.
 
     `psd` is the ``LowRankPSD`` from a `_lowrank` clip; `idx` the grid
-    indices of the m observed cells; `error_cov` the dense (m, m)
-    observation-error covariance. Field, uncertainty and constraint mask
-    are EXACT for the factored covariance (cross-checked against the
-    dense solver in tests); cost O(m^3 + n r^2), memory O(n r).
+    indices of the m observed cells; `error_cov` the (m, m)
+    observation-error covariance OR its (m,) diagonal (diagonal E takes
+    the m^3-free Woodbury route either way; passing the diagonal also
+    skips uploading m^2 zeros — 100 MB at m = 5000). Field, uncertainty
+    and constraint mask are EXACT for the factored covariance
+    (cross-checked against the dense solver in tests); cost
+    O(m^3 + n r^2) dense-E / O(n r^2 + m r^2) diagonal-E, memory O(n r).
     """
     y = jnp.asarray(obs, psd.vectors.dtype)
     E = jnp.asarray(error_cov, psd.vectors.dtype)
@@ -343,7 +369,9 @@ def lowrank_ensemble_step(
     forms ``member = field + grid_sim - state`` (same convention as
     ``models.stochastic.batched_ensemble_step``; reference scheme
     `stochastic.py:291-349`). Everything — factorisation, field,
-    diagnostics, all members — is ONE compiled dispatch.
+    diagnostics, all members — is ONE compiled dispatch. `error_cov`
+    may be the (m, m) matrix or its (m,) diagonal (see
+    :func:`lowrank_kriging`).
 
     Returns (result, members): a ``LowRankKrigingResult`` and the
     (n_members, n) member stack.

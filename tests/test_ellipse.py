@@ -844,3 +844,151 @@ def test_compute_params_lm_matches_nm(rng):
     qc_nm = p_nm["qc_code"].values[sel]
     qc_lm = p_lm["qc_code"].values[sel]
     assert (qc_lm[qc_nm != 9] != 9).all()
+
+
+def test_lazy_cor_matches_dense_compute_params(rng):
+    """cor_mode='lazy' == 'dense' for whole-grid fits and row access.
+
+    The lazy path never forms the (n, n) correlation: chunk rows are
+    rebuilt inside the fit program from the (T, n) normalised samples.
+    Same contraction per element, so parameters agree to float
+    tolerance and QC codes exactly.
+    """
+    size = (6, 9)
+    n_pts = size[0] * size[1]
+    n_t = 300
+    true_cov = _initialise_covariance(
+        Lx=900.0, Ly=700.0, theta=0.2, stdev=1.0, v=0.5, size=size
+    )
+    data = rng.multivariate_normal(
+        np.zeros(n_pts), true_cov, size=n_t
+    ).reshape((n_t, *size))
+    coords = Coordinates(
+        {
+            "time": np.arange(n_t),
+            "longitude": np.arange(size[1], dtype=np.float32),
+            "latitude": np.arange(size[0], dtype=np.float32),
+        }
+    )
+    ellipse = EllipseModel(
+        anisotropic=True, rotated=True, physical_distance=True,
+        v=0.5, unit_sigma=True,
+    )
+    kwargs = dict(
+        default_value=[0.0] * ellipse.supercategory_n_params,
+        matern_ellipse=ellipse,
+        bounds=[
+            (300.0, 30000.0),
+            (300.0, 30000.0),
+            (-2.0 * np.pi, 2.0 * np.pi),
+        ],
+        guesses=[500.0, 500.0, 0.0],
+        max_distance=10_000.0,
+        delta_x_method="Modified_Met_Office",
+        max_train_cols=n_pts - 1,  # exercise top-k on the lazy rows
+    )
+    dense_b = EllipseBuilder(data, coords, cor_mode="dense")
+    lazy_b = EllipseBuilder(data, coords, cor_mode="lazy")
+
+    from glomargridding_tpu.models.ellipse.estimate import _LazyCorrelation
+
+    assert isinstance(lazy_b.cor, _LazyCorrelation)
+    assert not isinstance(dense_b.cor, _LazyCorrelation)
+
+    # row access parity (the fit_ellipse_model / _get_train_data path)
+    np.testing.assert_allclose(
+        np.asarray(lazy_b.cor[3, :]),
+        np.asarray(dense_b.cor[3, :]),
+        rtol=1e-5, atol=1e-6,
+    )
+    assert float(lazy_b.cor[3, 3]) == 1.0
+
+    dense_p = dense_b.compute_params(**kwargs)
+    lazy_p = lazy_b.compute_params(**kwargs)
+    np.testing.assert_array_equal(
+        dense_p["qc_code"].values, lazy_p["qc_code"].values
+    )
+    for name in ("Lx", "Ly", "theta"):
+        np.testing.assert_allclose(
+            dense_p[name].values, lazy_p[name].values,
+            rtol=1e-4, atol=1e-5, err_msg=name,
+        )
+
+    # bulk reads refuse to materialise n^2
+    import pytest as _pytest
+
+    with _pytest.raises((MemoryError, TypeError)):
+        np.asarray(lazy_b.cor)
+    with _pytest.raises(TypeError):
+        lazy_b.cor[:, 0]
+
+
+def test_device_cube_builder_matches_host(rng):
+    """EllipseBuilder(jax.Array) == EllipseBuilder(numpy) end-to-end.
+
+    The device path detects the mask by a NaN reduction, gathers kept
+    columns on device, and never fetches the cube; fits must agree
+    with the host/np.ma path exactly (identical kept samples).
+    """
+    import jax.numpy as _jnp
+
+    size = (6, 9)
+    n_pts = size[0] * size[1]
+    n_t = 200
+    true_cov = _initialise_covariance(
+        Lx=900.0, Ly=700.0, theta=0.2, stdev=1.0, v=0.5, size=size
+    )
+    data = rng.multivariate_normal(
+        np.zeros(n_pts), true_cov, size=n_t
+    ).reshape((n_t, *size)).astype(np.float32)
+    # mask two cells: NaN on the device cube, np.ma on the host cube
+    data_dev = data.copy()
+    data_dev[:, 0, 0] = np.nan
+    data_dev[:, 3, 4] = np.nan
+    mask = np.zeros(size, bool)
+    mask[0, 0] = mask[3, 4] = True
+    data_host = np.ma.masked_where(
+        np.broadcast_to(mask, data.shape), data
+    )
+    coords = Coordinates(
+        {
+            "time": np.arange(n_t),
+            "longitude": np.arange(size[1], dtype=np.float32),
+            "latitude": np.arange(size[0], dtype=np.float32),
+        }
+    )
+    b_dev = EllipseBuilder(_jnp.asarray(data_dev), coords)
+    b_host = EllipseBuilder(data_host, coords)
+    assert b_dev.small_covar_size == b_host.small_covar_size == n_pts - 2
+    np.testing.assert_array_equal(b_dev.mask, b_host.mask)
+    np.testing.assert_allclose(
+        np.asarray(b_dev.cor), np.asarray(b_host.cor),
+        rtol=1e-5, atol=1e-6,
+    )
+
+    ellipse = EllipseModel(
+        anisotropic=True, rotated=True, physical_distance=True,
+        v=0.5, unit_sigma=True,
+    )
+    kwargs = dict(
+        default_value=[0.0] * ellipse.supercategory_n_params,
+        matern_ellipse=ellipse,
+        bounds=[
+            (300.0, 30000.0),
+            (300.0, 30000.0),
+            (-2.0 * np.pi, 2.0 * np.pi),
+        ],
+        guesses=[500.0, 500.0, 0.0],
+        max_distance=10_000.0,
+        delta_x_method="Modified_Met_Office",
+    )
+    p_dev = b_dev.compute_params(**kwargs)
+    p_host = b_host.compute_params(**kwargs)
+    np.testing.assert_array_equal(
+        p_dev["qc_code"].values, p_host["qc_code"].values
+    )
+    for name in ("Lx", "Ly", "theta"):
+        np.testing.assert_allclose(
+            p_dev[name].values, p_host[name].values,
+            rtol=1e-4, atol=1e-5, err_msg=name,
+        )

@@ -326,3 +326,44 @@ def test_woodbury_route_matches_dense_cholesky_route(rng):
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
             err_msg=name,
         )
+
+
+def test_diagonal_error_cov_as_vector(rng):
+    """error_cov given as the (m,) diagonal == the dense np.diag form.
+
+    Same Woodbury route, same draws (the noise is drawn from sqrt of
+    the diagonal either way), so results match bitwise.
+    """
+    import jax
+
+    from glomargridding_tpu.models.lowrank import (
+        lowrank_ensemble_step,
+        lowrank_kriging,
+    )
+    from glomargridding_tpu.ops.covariance_tools import LowRankPSD
+
+    n, r, m = 300, 32, 80
+    Q, _ = np.linalg.qr(rng.normal(size=(n, r)))
+    g = np.sort(rng.uniform(0.5, 20.0, r))[::-1].copy()
+    psd = LowRankPSD(
+        jnp.asarray(Q, jnp.float32),
+        jnp.asarray(g, jnp.float32),
+        jnp.asarray(np.full(n, 0.2, np.float32)),
+    )
+    idx = jnp.asarray(np.sort(rng.choice(n, m, replace=False)))
+    y = jnp.asarray(rng.normal(size=m).astype(np.float32))
+    ed = rng.uniform(0.05, 0.4, m).astype(np.float32)
+
+    res_v = lowrank_kriging(psd, idx, y, ed)
+    res_m = lowrank_kriging(psd, idx, y, np.diag(ed))
+    np.testing.assert_array_equal(
+        np.asarray(res_v.field), np.asarray(res_m.field)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_v.uncertainty), np.asarray(res_m.uncertainty)
+    )
+
+    key = jax.random.key(11)
+    _, mem_v = lowrank_ensemble_step(psd, idx, y, ed, key, 6)
+    _, mem_m = lowrank_ensemble_step(psd, idx, y, np.diag(ed), key, 6)
+    np.testing.assert_array_equal(np.asarray(mem_v), np.asarray(mem_m))
