@@ -394,6 +394,85 @@ def bench_stream_clip(n_side=128):
     }
 
 
+def bench_lazy_mle():
+    """Whole-grid-MLE fit chunk at the 259k half-degree-class shape.
+
+    Pins the lazy-correlation fit path (`EllipseBuilder`
+    ``cor_mode="lazy"``): geometry + per-chunk correlation rows rebuilt
+    from the (T, n) normalised samples + approx-top-k column selection
+    + 1024 batched Nelder-Mead fits, all as compiled programs at
+    n = 259,200 (the dense correlation would be 269 GB). Records the
+    warm per-chunk wall and its whole-grid extrapolation (254 chunks;
+    the example's full measured run is in CHANGES.md). TPU only.
+    """
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return {"skipped": f"backend={jax.default_backend()}"}
+
+    import jax.numpy as jnp
+
+    from glomargridding_tpu.models.ellipse.estimate import (
+        _chunk_train_data,
+        _normalised_samples,
+    )
+    from glomargridding_tpu.models.ellipse.model import EllipseModel
+    from glomargridding_tpu.ops.optim import batched_nelder_mead
+
+    m_lat, m_lon, T, B, K = 360, 720, 60, 1024, 2048
+    lat = np.linspace(-89.75, 89.75, m_lat).astype(np.float32)
+    lon = np.linspace(-179.75, 179.75, m_lon).astype(np.float32)
+    glat = jnp.asarray(np.repeat(lat, m_lon))
+    glon = jnp.asarray(np.tile(lon, m_lat))
+    n = glat.shape[0]
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(T, n)).astype(np.float32))
+    xn = _normalised_samples(x - jnp.mean(x, axis=0, keepdims=True))
+
+    ellipse = EllipseModel(
+        anisotropic=True, rotated=True, physical_distance=True,
+        v=1.5, unit_sigma=True,
+    )
+    x0_single, (lo, hi), _ = ellipse._fit_setup(
+        [2000.0, 2000.0, 0.0],
+        [(300.0, 30000.0), (300.0, 30000.0), (-2 * np.pi, 2 * np.pi)],
+    )
+
+    def run_chunk(start):
+        sel = jnp.asarray(np.arange(start, start + B))
+        X, y, w = _chunk_train_data(
+            glat, glon, xn, sel,
+            min_distance=0.3, max_distance=6000.0,
+            anisotropic=True, delta_x_method="Modified_Met_Office",
+            physical_distance=True, physical_distance_selection=True,
+            max_train_cols=K, fisher_z=True, lazy_cor=True,
+        )
+        x0 = jnp.broadcast_to(x0_single, (B, 3))
+        res = batched_nelder_mead(
+            ellipse._nll_fit_z, x0, (X, y, w), (lo, hi),
+            xatol=1e-3, fatol=1e-3,
+        )
+        float(res.x[0, 0])  # honest sync
+        return res
+
+    t0 = time.perf_counter()
+    run_chunk(100_000)  # compile (or cache load)
+    first_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    run_chunk(101_024)
+    warm_s = time.perf_counter() - t0
+    n_chunks = -(-int(n) // B)
+    return {
+        "n": int(n),
+        "chunk": B,
+        "cols": K,
+        "first_chunk_s": round(first_s, 2),
+        "chunk_warm_s": round(warm_s, 3),
+        "whole_grid_extrapolated_s": round(warm_s * n_chunks, 1),
+    }
+
+
 def bench_reference_trio():
     """BASELINE.md's three published reference numbers, warm, via
     ``bench_reference_configs.run()`` on the vendored workflow data."""
@@ -413,13 +492,21 @@ def main():
     import jax
 
     # persistent compile cache: repeat driver runs (and the monthly
-    # production pattern) skip the 20-120 s XLA compiles
+    # production pattern) skip the 20-120 s XLA compiles. Use the
+    # LIBRARY cache location so bench shares entries with the examples
+    # (and gets the cache-everything thresholds — remote compile
+    # latency is heavy-tailed, docs/perf.md).
     try:
-        jax.config.update(
-            "jax_compilation_cache_dir", "/tmp/glomar_jaxcache"
-        )
+        from glomargridding_tpu.config import enable_compile_cache
+
+        enable_compile_cache()
     except Exception:
-        pass
+        try:
+            jax.config.update(
+                "jax_compilation_cache_dir", "/tmp/glomar_jaxcache"
+            )
+        except Exception:
+            pass
 
     # The remote-device link can fault transiently; one retry protects
     # the recorded metric.
@@ -434,6 +521,7 @@ def main():
         ("nonstationary_65k_lowrank", bench_lowrank_65k),
         ("reference_configs_5deg", bench_reference_trio),
         ("stream_16k", bench_stream_clip),
+        ("lazy_mle_259k", bench_lazy_mle),
     ):
         try:  # never let an extra block kill the headline metric
             extras[name] = fn()

@@ -429,7 +429,10 @@ def lowrank_months_scan(
     ``models.kernel_kriging.months_scan_kriging``: the factored clipped
     covariance is fixed across months while observations change;
     `idx_months` (T, m), `obs_months` (T, m), `error_cov_months`
-    (T, m, m) — pad ragged months with
+    (T, m, m) — or, for diagonal monthly error covariances, the
+    (T, m) stack of their DIAGONALS, which takes the m^3-free Woodbury
+    route and skips uploading T m^2 floats (1.2 GB for a year at
+    m = 5000) — pad ragged months with
     ``models.kernel_kriging.pad_month_observations``. One ``lax.scan``
     evaluates every month (field, uncertainty, constraint mask, and
     `n_members` two-stage ensemble members each) in a single compiled
@@ -445,17 +448,22 @@ def lowrank_months_scan(
     dtype = psd.vectors.dtype
     if key is None:
         key = jax.random.key(0)
+    err_m = jnp.asarray(error_cov_months, dtype)
+    # (T, m): stacked DIAGONALS by contract (each month's scan slice is
+    # then the 1-D form the solve core consumes); (T, m, m): stacked
+    # matrices, diagonality checked on device
+    e_diag = err_m.ndim == 2 or _is_diagonal(err_m)
     field, uncert2, cmask, members = _lowrank_months_scan(
         psd.vectors,
         psd.gains,
         psd.floor,
         jnp.asarray(idx_months),
         jnp.asarray(obs_months, dtype),
-        jnp.asarray(error_cov_months, dtype),
+        err_m,
         key,
         int(n_members),
         bool(diagnostics),
-        _is_diagonal(error_cov_months),
+        e_diag,
     )
     res = LowRankKrigingResult(
         field, jnp.sqrt(jnp.clip(uncert2, 0.0)), cmask

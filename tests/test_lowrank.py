@@ -367,3 +367,36 @@ def test_diagonal_error_cov_as_vector(rng):
     _, mem_v = lowrank_ensemble_step(psd, idx, y, ed, key, 6)
     _, mem_m = lowrank_ensemble_step(psd, idx, y, np.diag(ed), key, 6)
     np.testing.assert_array_equal(np.asarray(mem_v), np.asarray(mem_m))
+
+
+def test_months_scan_stacked_diagonal_vectors(rng):
+    """error_cov_months as (T, m) stacked diagonals == (T, m, m) diags.
+
+    Both take the Woodbury route with identical noise draws, so the
+    results match bitwise; the vector form skips the T m^2 upload.
+    """
+    from glomargridding_tpu.models.lowrank import lowrank_months_scan
+
+    psd = _make_psd(rng)
+    T = 3
+    idx_m = np.stack(
+        [np.sort(rng.choice(N, size=M, replace=False)) for _ in range(T)]
+    )
+    obs_m = rng.normal(size=(T, M))
+    diags = rng.uniform(0.03, 0.2, size=(T, M)).astype(np.float32)
+    err_mat = np.stack([np.diag(d) for d in diags])
+
+    key = jax.random.key(9)
+    res_v, mem_v = lowrank_months_scan(
+        psd, idx_m, obs_m, diags, key=key, n_members=4
+    )
+    res_m, mem_m = lowrank_months_scan(
+        psd, idx_m, obs_m, err_mat, key=key, n_members=4
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_v.field), np.asarray(res_m.field)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_v.uncertainty), np.asarray(res_m.uncertainty)
+    )
+    np.testing.assert_array_equal(np.asarray(mem_v), np.asarray(mem_m))
