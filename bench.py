@@ -321,6 +321,34 @@ def bench_lowrank_65k():
     members(jax.random.key(4))  # warm
     out["members_s"] = round(time.perf_counter() - t0, 3)
     out["n"] = n
+
+    # self-consistency pin: for truth drawn from the model's own
+    # factored covariance, field RMSE == mean posterior uncertainty ==
+    # member spread. This caught a real defect: bf16-default matmuls +
+    # Woodbury cancellation degraded the field to RMSE 0.450 where the
+    # Cholesky route sat consistent at 0.387 (models/lowrank.py fixes:
+    # Precision.HIGHEST core + one refinement step).
+    truth = psd.draw(jax.random.key(5), 1)[0]
+    yc = truth[idx] + 0.3 * jnp.asarray(
+        np.random.default_rng(1).normal(size=idx.shape[0]).astype(
+            np.float32
+        )
+    )
+    res, mem = lowrank_ensemble_step(
+        psd, idx, yc, err_cov, jax.random.key(6), n_members=N_MEMBERS
+    )
+    fh = np.asarray(res.field)
+    out["consistency"] = {
+        "rmse": round(
+            float(np.sqrt(np.mean((fh - np.asarray(truth)) ** 2))), 4
+        ),
+        "mean_uncertainty": round(
+            float(np.asarray(res.uncertainty).mean()), 4
+        ),
+        "member_spread": round(
+            float((np.asarray(mem) - fh).std(axis=0).mean()), 4
+        ),
+    }
     return out
 
 

@@ -213,7 +213,8 @@ def main(small=False):
     truth_fit = truth_full[~fit_mask].astype(np.float32)
     assert truth_fit.shape[0] == n
     y = truth_fit[idx] + 0.3 * rng.normal(size=n_obs).astype(np.float32)
-    E = np.diag(np.full(n_obs, 0.09, np.float32))
+    # the (m,) diagonal — not np.diag: the m^2 form is a 100 MB upload
+    E = np.full(n_obs, 0.09, np.float32)
 
     t0 = stage("  (truth draw + obs prep)", t0)
     res, members = lowrank_ensemble_step(

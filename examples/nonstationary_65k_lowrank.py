@@ -115,7 +115,8 @@ def main():
     idx = np.sort(rng.choice(n, N_OBS, replace=False))
     truth = np.asarray(psd.draw(jax.random.key(2), 1))[0]
     y = truth[idx] + 0.3 * rng.normal(size=N_OBS).astype(np.float32)
-    E = np.diag(np.full(N_OBS, 0.09, np.float32))
+    # the (m,) diagonal — not np.diag: the m^2 form is a 100 MB upload
+    E = np.full(N_OBS, 0.09, np.float32)
 
     res, members = lowrank_ensemble_step(
         psd, idx, y, E, jax.random.key(3), n_members=N_MEMBERS
