@@ -15,11 +15,13 @@ than one chip's HBM, and far beyond the reference's dense-only path
   3. the bf16 store is FREED, and kriging + a 100-member two-stage
      ensemble run straight off the factors (``models.lowrank``).
 
-Measured (one v5e chip, 2026-08-17): operator assembly 2.1 s warm
-(~4-8 s incl. compile), low-rank clip 4.3 s warm (~24 s incl. compile;
-trace preserved to 7e-8), kriging + 100 members 0.63-0.74 s warm
-(~95 s incl. compile); ensemble spread 0.296 vs posterior kriging
-uncertainty 0.296. The reference cannot run this size at all.
+Measured (one v5e chip, 2026-08-18): operator assembly 3.2 s,
+low-rank clip 1.8 s warm (trace preserved to 7e-8), kriging + 100
+members 0.06 s warm (one-time compile on first run, persisted by the
+compile cache; the diagonal obs error rides the m^3-free Woodbury
+solve). Self-consistent to three digits: field RMSE vs model-drawn
+truth 0.298 = member spread 0.297 = mean kriging uncertainty 0.296.
+The reference cannot run this size at all.
 
 Run: python examples/nonstationary_65k_lowrank.py
 """

@@ -238,7 +238,7 @@ class _LazyCorrelation:
     one (T,) x (T, n) matvec on device. Supports the row-access patterns
     the estimation pipeline uses (``cor[i, :]``, ``cor[i, j]``); whole-
     matrix reads raise rather than silently materialising n² floats
-    (269 GB at the 259k quarter-degree-class grid — the size this class
+    (269 GB at the 259k half-degree grid — the size this class
     exists to avoid).
     """
 
@@ -730,7 +730,7 @@ class EllipseBuilder:
         # the per-chunk build materialises (B, N)-shaped geometry and a
         # packed top-k payload — ~32 B bytes per (B, N) pair at f32.
         # Cap B so those temps stay under ~10 GB of HBM: at the 259k
-        # quarter-degree-class grid, B = 2048 peaks at 15.8 GB (OOM on
+        # half-degree (259k) grid, B = 2048 peaks at 15.8 GB (OOM on
         # a 16 GB v5e) while B = 1024 fits with headroom.
         cap = max(256, int(10e9 / (32 * n_points)))
         if chunk_size > cap:

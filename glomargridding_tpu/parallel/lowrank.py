@@ -1,7 +1,7 @@
 r"""Pod-scale non-stationary ensembles on a FACTORED covariance.
 
 ``models.lowrank`` runs the clipped-covariance kriging + two-stage
-ensemble on one chip up to ~65k grid cells. Beyond that (quarter-degree
+ensemble on one chip up to ~65k grid cells. Beyond that (sub-half-degree
 grids, n ~ 10^6) even the factors outgrow one HBM: V is (n, r) and the
 member stack is (n_members, n). This module shards them over the
 ``(grid x ens)`` mesh (``parallel.mesh.make_mesh``):
