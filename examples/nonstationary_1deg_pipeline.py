@@ -108,13 +108,15 @@ def main(small=False):
         lambda ang: np.exp(-ang / r), 1.0, lats, lons,
         nugget=0.05, l_max=256,
     )
-    cube = np.asarray(
-        sampler.draw(jax.random.key(0), T_TRAIN)
-    ).reshape(T_TRAIN, len(lats), len(lons))
-    cube = np.ma.masked_where(
-        np.broadcast_to(mask, cube.shape), cube
-    ).astype(np.float32)
-    t0 = stage(f"training cube ({T_TRAIN} states)", t0)
+    # the cube STAYS on device: land cells become NaN (the device-path
+    # mask convention) and EllipseBuilder consumes the jax.Array
+    # directly — no host round-trip of the 15.6 MB cube
+    cube = sampler.draw(jax.random.key(0), T_TRAIN).reshape(
+        T_TRAIN, len(lats), len(lons)
+    )
+    cube = jnp.where(jnp.asarray(mask)[None], jnp.nan, cube)
+    float(cube[0, 0, 0])  # sync
+    t0 = stage(f"training cube ({T_TRAIN} states, on device)", t0)
 
     # 2+3 -- empirical correlation + batched ellipse MLE at every point
     coords = Coordinates(
