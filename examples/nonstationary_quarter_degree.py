@@ -12,7 +12,9 @@ end-to-end here:
      normalised training samples — one (B, T) x (T, n) matmul. 254
      chunks of 1024 batched Nelder-Mead fits (the 2048 default would
      peak at 15.8 GB of (B, N) temps and OOM a 16 GB v5e; see
-     ``compute_params``'s automatic cap);
+     ``compute_params``'s automatic cap). The stage checkpoints every
+     few chunks (``checkpoint=``), so a preempted run resumes from
+     the last saved chunk instead of refitting ~96 s of work;
   2. ``store="stream"``: Paciorek-Schervish covariance tiles are
      rebuilt from the fitted parameter fields inside every operator
      application under ``lax.scan`` — O(n * block) memory, 0 bytes
@@ -136,6 +138,13 @@ def main():
         tol=1e-3,
         chunk_size=1024,     # (B, N) fit temps: 2048 would OOM 16 GB
         max_train_cols=2048,  # ~1400 km window at this resolution
+        # the longest stage is RESUMABLE: a preempted run (spot VM,
+        # OOM elsewhere in the job) continues from the last saved
+        # chunk; a completed checkpoint reloads instantly
+        checkpoint=os.environ.get(
+            "GLOMAR_MLE_CHECKPOINT",
+            "/tmp/glomar_quarter_deg_mle.npz",
+        ),
     )
     Lx = params["Lx"].values.ravel().astype(np.float32)
     Ly = params["Ly"].values.ravel().astype(np.float32)

@@ -15,7 +15,10 @@ for TPU:
   device launches (row-chunked to bound memory).
 """
 
+import json
+import logging
 import math
+import os
 from functools import partial
 from typing import Any
 from warnings import warn
@@ -35,6 +38,8 @@ from ...ops.optim import (
 from ...types import DeltaXMethod
 from ...utils.arrays import cov_2_cor, uncompress_masked
 from .model import ARCTANH_THRESHOLD, EllipseModel
+
+logger = logging.getLogger(__name__)
 
 
 @jax.jit
@@ -660,6 +665,8 @@ class EllipseBuilder:
         physical_distance_selection: bool = True,
         chunk_size: int = 1024,
         max_train_cols: int | None = None,
+        checkpoint: str | None = None,
+        checkpoint_every: int = 8,
     ) -> Dataset:
         """Fit ellipses at ALL unmasked grid points — batched on device.
 
@@ -698,6 +705,22 @@ class EllipseBuilder:
         than K points this equals the unrestricted fit (up to float
         reassociation from the gather's column reorder — pinned by
         test); None (default) = reference semantics, all columns.
+
+        `checkpoint` (a file path) makes the whole-grid fit RESUMABLE:
+        every `checkpoint_every` chunks the accumulated per-point
+        results are flushed to an ``.npz`` (written atomically), and a
+        rerun with the same configuration continues from the last saved
+        chunk instead of refitting — a fully-saved checkpoint returns
+        without touching the device. The stage is minutes at 0.25
+        degrees and hours at 0.1, so production runs should always set
+        this (the reference's precompute-and-persist idiom,
+        ``glomar_gridding/io.py:34-100``, applied to the fit itself).
+        A checkpoint records a fingerprint of the fit configuration
+        (grid size, model, optimiser, chunking, window) and refuses to
+        resume a run whose configuration differs. Flushes are batched
+        so the device pipeline is not serialised on host fetches
+        (measured ~170 ms of idle per fetch over a remote-tunnel
+        backend; amortised to ~20 ms/chunk at the default cadence).
         """
         if opt_method not in (
             "Nelder-Mead",
@@ -758,11 +781,80 @@ class EllipseBuilder:
         # precomputed once per chunk (see _chunk_train_data).
         fun = matern_ellipse._nll_fit_z
 
-        all_x = []
-        all_nit = []
-        all_success = []
-        all_has_data = []
-        for start in range(0, n_points, chunk_size):
+        # --- checkpoint/resume ------------------------------------------------
+        # Host-side accumulators hold FETCHED results for [0, n_done);
+        # `pending` holds device results not yet flushed. The fingerprint
+        # pins every input that changes the per-point answer or the
+        # chunk alignment.
+        fingerprint = json.dumps(
+            {
+                "n_points": n_points,
+                "model": matern_ellipse.model_type,
+                "opt": opt_method,
+                "chunk": chunk_size,
+                "d": d,
+                "tol": tol,
+                "win": [float(min_distance), float(max_distance)],
+                "cols": max_train_cols,
+                "dx": delta_x_method,
+                "phys_sel": bool(physical_distance_selection),
+                "x0": np.asarray(x0_single).tolist(),
+                "lo": np.asarray(lo).tolist(),
+                "hi": np.asarray(hi).tolist(),
+            },
+            sort_keys=True,
+        )
+        host_parts: dict[str, list[np.ndarray]] = {
+            "x": [], "nit": [], "success": [], "has_data": []
+        }
+        n_done = 0
+        if checkpoint is not None and os.path.exists(checkpoint):
+            with np.load(checkpoint) as data:
+                saved_fp = str(data["fingerprint"])
+                if saved_fp != fingerprint:
+                    raise ValueError(
+                        f"checkpoint {checkpoint!r} was written by a fit "
+                        "with a different configuration — delete it (or "
+                        "point elsewhere) to refit"
+                    )
+                n_done = int(data["n_done"])
+                for name in host_parts:
+                    host_parts[name].append(data[name][:n_done])
+            logger.info(
+                "resuming whole-grid fit from %s: %d/%d points done",
+                checkpoint, n_done, n_points,
+            )
+
+        pending: list[tuple] = []
+
+        def _flush(save: bool) -> None:
+            nonlocal n_done
+            if pending:
+                for (xs, nits_, succ, hd, n_keep) in pending:
+                    host_parts["x"].append(np.asarray(xs)[:n_keep])
+                    host_parts["nit"].append(np.asarray(nits_)[:n_keep])
+                    host_parts["success"].append(
+                        np.asarray(succ)[:n_keep]
+                    )
+                    host_parts["has_data"].append(np.asarray(hd)[:n_keep])
+                    n_done += n_keep
+                pending.clear()
+            if save and checkpoint is not None:
+                tmp = checkpoint + ".tmp.npz"
+                np.savez(
+                    tmp,
+                    fingerprint=np.asarray(fingerprint),
+                    n_done=np.asarray(n_done),
+                    **{
+                        name: np.concatenate(parts, axis=0)
+                        if parts
+                        else np.zeros((0,))
+                        for name, parts in host_parts.items()
+                    },
+                )
+                os.replace(tmp, checkpoint)
+
+        for start in range(n_done, n_points, chunk_size):
             stop = min(start + chunk_size, n_points)
             sel = np.arange(start, stop)
             pad = 0
@@ -812,20 +904,23 @@ class EllipseBuilder:
             # ~0.5 MB, while X/y/w are freed as each loop iteration drops
             # its references.
             n_keep = stop - start
-            all_x.append((res.x, n_keep))
-            all_nit.append((res.nit, n_keep))
-            all_success.append((res.success, n_keep))
-            all_has_data.append((jnp.sum(w, axis=1) > 0, n_keep))
-
-        def _fetch(parts):
-            return np.concatenate(
-                [np.asarray(a)[:nk] for a, nk in parts], axis=0
+            pending.append(
+                (res.x, res.nit, res.success, jnp.sum(w, axis=1) > 0,
+                 n_keep)
             )
+            if checkpoint is not None and len(pending) >= checkpoint_every:
+                _flush(save=True)
 
-        fitted = _fetch(all_x)
-        nits = _fetch(all_nit)
-        successes = _fetch(all_success)
-        has_data = _fetch(all_has_data)
+        _flush(save=checkpoint is not None)
+
+        def _cat(name):
+            parts = host_parts[name]
+            return np.concatenate(parts, axis=0)
+
+        fitted = _cat("x")
+        nits = _cat("nit")
+        successes = _cat("success")
+        has_data = _cat("has_data")
 
         names = list(param_names.keys())
         for i in np.where(~has_data)[0]:

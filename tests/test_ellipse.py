@@ -1,6 +1,8 @@
 """Ellipse package tests: oracle vs stored independent result plus
 statistical round-trip self-consistency (reference test_ellipse idioms)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -992,3 +994,88 @@ def test_device_cube_builder_matches_host(rng):
             p_dev[name].values, p_host[name].values,
             rtol=1e-4, atol=1e-5, err_msg=name,
         )
+
+
+def test_compute_params_checkpoint_resume(rng, tmp_path):
+    """Chunk-level checkpoint/resume: a partial checkpoint is continued
+    (already-fitted chunks are NOT refit), a complete checkpoint returns
+    without fitting, and a config change is refused."""
+    builder, lats, lons = _synthetic_builder(rng, size=(6, 8), n=1500)
+    iso = EllipseModel(
+        anisotropic=False, rotated=False, physical_distance=True,
+        v=0.5, unit_sigma=True,
+    )
+    ckpt = str(tmp_path / "fit_ckpt.npz")
+    kwargs = dict(
+        default_value=[-999.0] * iso.supercategory_n_params,
+        matern_ellipse=iso,
+        bounds=[(100.0, 20000.0)],
+        guesses=[500.0],
+        max_distance=8000.0,
+        delta_x_method="Modified_Met_Office",
+        chunk_size=16,
+    )
+
+    import glomargridding_tpu.models.ellipse.estimate as est
+
+    calls = {"n": 0}
+    real_nm = est.batched_nelder_mead
+
+    def counting_nm(*args, **kw):
+        calls["n"] += 1
+        return real_nm(*args, **kw)
+
+    est.batched_nelder_mead = counting_nm
+    try:
+        # reference run without checkpointing
+        p_ref = builder.compute_params(**kwargs)
+        full_chunks = calls["n"]
+        assert full_chunks == 3  # 48 points / 16
+
+        # run 1: checkpoint every chunk, via a builder whose loop we cut
+        # short by raising after 2 chunks
+        calls["n"] = 0
+
+        def failing_nm(*args, **kw):
+            if calls["n"] >= 2:
+                raise KeyboardInterrupt("simulated preemption")
+            calls["n"] += 1
+            return real_nm(*args, **kw)
+
+        est.batched_nelder_mead = failing_nm
+        with pytest.raises(KeyboardInterrupt):
+            builder.compute_params(
+                checkpoint=ckpt, checkpoint_every=1, **kwargs
+            )
+        assert os.path.exists(ckpt)
+
+        # run 2: resume — only the remaining chunk is fitted
+        calls["n"] = 0
+        est.batched_nelder_mead = counting_nm
+        p_res = builder.compute_params(
+            checkpoint=ckpt, checkpoint_every=1, **kwargs
+        )
+        assert calls["n"] == full_chunks - 2
+        np.testing.assert_array_equal(
+            p_res["R"].values, p_ref["R"].values
+        )
+        np.testing.assert_array_equal(
+            p_res["qc_code"].values, p_ref["qc_code"].values
+        )
+
+        # run 3: complete checkpoint — nothing is refit
+        calls["n"] = 0
+        p_done = builder.compute_params(checkpoint=ckpt, **kwargs)
+        assert calls["n"] == 0
+        np.testing.assert_array_equal(
+            p_done["R"].values, p_ref["R"].values
+        )
+
+        # config change is refused
+        with pytest.raises(ValueError, match="different configuration"):
+            builder.compute_params(
+                checkpoint=ckpt,
+                **{**kwargs, "max_distance": 5000.0},
+            )
+    finally:
+        est.batched_nelder_mead = real_nm
