@@ -492,6 +492,30 @@ def bench_lazy_mle():
     run_chunk(101_024)
     warm_s = time.perf_counter() - t0
     n_chunks = -(-int(n) // B)
+
+    # grouped dispatch (compute_params dispatch_chunks=8): one jitted
+    # lax.scan fits 8 chunks per RPC — the production whole-grid lane
+    from glomargridding_tpu.models.ellipse.estimate import _group_fit_fn
+
+    G = 8
+    group_fit = _group_fit_fn(
+        ellipse._nll_fit_z, ellipse._residuals_fit_z, "nm", 1e-3,
+        (0.3, 6000.0, True, "Modified_Met_Office", True, True, K, True),
+    )
+
+    def run_group(start):
+        sel_mat = jnp.asarray(
+            np.arange(start, start + G * B).reshape(G, B)
+        )
+        outs = group_fit(glat, glon, xn, sel_mat, x0_single, lo, hi)
+        float(outs[0][0, 0, 0])  # honest sync
+        return outs
+
+    run_group(50_000)  # compile (or cache load)
+    t0 = time.perf_counter()
+    run_group(50_000 + G * B)
+    group_warm_s = time.perf_counter() - t0
+    n_groups = -(-n_chunks // G)
     return {
         "n": int(n),
         "chunk": B,
@@ -499,6 +523,10 @@ def bench_lazy_mle():
         "first_chunk_s": round(first_s, 2),
         "chunk_warm_s": round(warm_s, 3),
         "whole_grid_extrapolated_s": round(warm_s * n_chunks, 1),
+        "group8_warm_s": round(group_warm_s, 2),
+        "whole_grid_grouped_extrapolated_s": round(
+            group_warm_s * n_groups, 1
+        ),
     }
 
 

@@ -25,14 +25,18 @@ end-to-end here:
   4. kriging + a 100-member two-stage ensemble run off the factors
      through the Woodbury observation solve (diagonal obs error).
 
-Measured (one v5e chip, warm compile cache, 2026-08-18): training cube
-6.1 s (device-resident — EllipseBuilder takes the jax.Array, no 62 MB
-host round-trip), lazy correlation 5.9 s, whole-grid MLE 96 s
-(259,104 of 259,200 fits converged; 254 chunks), stream-operator
-warm-up sweep 10.6 s, PSD repair 37.6 s (rank 1152, trace to 2.4e-7),
-kriging + 100 members 2.1 s first dispatch / 0.08 s warm (diagonal
-obs-error vector -> Woodbury route). First-ever run adds one-time XLA
-compiles (persisted by ``config.enable_compile_cache``).
+Measured (one v5e chip, warm compile cache, 2026-08-18; the remote
+tunnel's run-to-run latency noise gives ranges over three runs):
+training cube 6-22 s (device-resident — EllipseBuilder takes the
+jax.Array, no 62 MB host round-trip), lazy correlation 0.5-5.9 s,
+whole-grid MLE 96-104 s (259,104 of 259,200 fits converged; 32
+grouped dispatches of 8 x 1024 fits), stream-operator warm-up ~10 s,
+PSD repair 38-42 s (rank 1152, trace to 2.4e-7), kriging +
+100 members 2-4 s first dispatch / 0.08 s warm (diagonal obs-error
+vector -> Woodbury route); field RMSE 0.377 = member spread 0.376 =
+mean kriging uncertainty 0.378 (truth drawn from the model's own
+covariance). First-ever run adds one-time XLA compiles (persisted by
+``config.enable_compile_cache``).
 
 Run: python examples/nonstationary_quarter_degree.py
 (reference anchor: ellipse/covariance.py:206-215 — dense-only, auto-
@@ -138,6 +142,9 @@ def main():
         tol=1e-3,
         chunk_size=1024,     # (B, N) fit temps: 2048 would OOM 16 GB
         max_train_cols=2048,  # ~1400 km window at this resolution
+        # 8 chunks per jitted lax.scan dispatch: ~11% off the warm
+        # chunk wall (driver-recorded) and 8x fewer tunnel RPCs
+        dispatch_chunks=8,
         # the longest stage is RESUMABLE: a preempted run (spot VM,
         # OOM elsewhere in the job) continues from the last saved
         # chunk; a completed checkpoint reloads instantly

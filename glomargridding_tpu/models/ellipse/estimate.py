@@ -229,6 +229,88 @@ def _chunk_train_data(
     return X, y, w
 
 
+# Grouped-dispatch whole-grid fitting: one jitted lax.scan runs
+# `dispatch_chunks` consecutive fit chunks per device dispatch, so the
+# per-chunk dispatch overhead of a remote-tunnel backend is paid once
+# per GROUP (driver-recorded at the 259k shape: 8 warm chunks in
+# 1.56 s grouped vs 1.75 s as single dispatches — the single-chunk
+# loop is already async-pipelined, so the win is the ~11% of residual
+# per-dispatch latency, plus far fewer RPCs for tunnel resilience).
+# The body
+# is identical to the single-chunk path (same _chunk_train_data + same
+# batched optimiser); results agree to float tolerance — XLA's scan
+# scheduling reassociates a few reductions, which can shift an NM
+# termination by one iteration (pinned by test). (B, N) training
+# temps live once (scan reuses iteration buffers). Cached per
+# (objective fn, optimiser lane, tolerance, geometry config): the
+# objective is a bound method of the model instance, which hashes
+# stably, so repeated monthly runs reuse one compiled program.
+_GROUP_FIT_CACHE: dict = {}
+
+
+def _group_fit_fn(fun, residuals_fun, lane, tol, geo_cfg):
+    key = (fun, residuals_fun, lane, tol, geo_cfg)
+    cached = _GROUP_FIT_CACHE.get(key)
+    if cached is not None:
+        return cached
+    (
+        min_distance,
+        max_distance,
+        anisotropic,
+        delta_x_method,
+        physical_distance,
+        physical_distance_selection,
+        max_train_cols,
+        lazy_cor,
+    ) = geo_cfg
+
+    @jax.jit
+    def run(lats_all, lons_all, cor, sel_mat, x0_single, lo, hi):
+        def body(_, sel_row):
+            X, y, w = _chunk_train_data(
+                lats_all,
+                lons_all,
+                cor,
+                sel_row,
+                min_distance=min_distance,
+                max_distance=max_distance,
+                anisotropic=anisotropic,
+                delta_x_method=delta_x_method,
+                physical_distance=physical_distance,
+                physical_distance_selection=physical_distance_selection,
+                max_train_cols=max_train_cols,
+                fisher_z=True,
+                lazy_cor=lazy_cor,
+            )
+            x0 = jnp.broadcast_to(
+                x0_single, (sel_row.shape[0], x0_single.shape[0])
+            )
+            if lane == "lm":
+                res = batched_levenberg_marquardt(
+                    residuals_fun, x0, (X, y, w), (lo, hi), xtol=tol
+                )
+            elif lane == "lbfgs":
+                res = batched_lbfgs(
+                    fun, x0, (X, y, w), (lo, hi), tol=tol
+                )
+            else:
+                res = batched_nelder_mead(
+                    fun, x0, (X, y, w), (lo, hi), xatol=tol, fatol=tol
+                )
+            return None, (
+                res.x,
+                res.nit,
+                res.success,
+                jnp.sum(w, axis=1) > 0,
+            )
+
+        _, outs = jax.lax.scan(body, None, sel_mat)
+        return outs
+
+    _GROUP_FIT_CACHE[key] = run
+    return run
+
+
 @jax.jit
 def _lazy_cor_row(xn, i):
     """One correlation row from the normalised samples, exact unit
@@ -667,6 +749,7 @@ class EllipseBuilder:
         max_train_cols: int | None = None,
         checkpoint: str | None = None,
         checkpoint_every: int = 8,
+        dispatch_chunks: int = 1,
     ) -> Dataset:
         """Fit ellipses at ALL unmasked grid points — batched on device.
 
@@ -721,6 +804,18 @@ class EllipseBuilder:
         so the device pipeline is not serialised on host fetches
         (measured ~170 ms of idle per fetch over a remote-tunnel
         backend; amortised to ~20 ms/chunk at the default cadence).
+
+        `dispatch_chunks` runs that many consecutive chunks as ONE
+        jitted ``lax.scan`` dispatch — the same per-chunk computation
+        (results agree to float tolerance; XLA's scan scheduling can
+        shift an optimiser termination by an iteration), but the
+        per-dispatch RPC latency of a remote-tunnel
+        backend is paid once per group instead of once per chunk
+        (~40 s of the 96 s quarter-degree whole-grid stage at 254
+        chunks). Memory is unchanged: the (B, N) training temps are
+        scan-internal and reused across iterations. Use 4-16 for
+        production whole-grid fits; 1 (default) keeps the single-chunk
+        dispatch granularity.
         """
         if opt_method not in (
             "Nelder-Mead",
@@ -854,60 +949,64 @@ class EllipseBuilder:
                 )
                 os.replace(tmp, checkpoint)
 
-        for start in range(n_done, n_points, chunk_size):
+        def _sel_row(start):
+            """(chunk_size,) padded centre indices + kept count."""
             stop = min(start + chunk_size, n_points)
             sel = np.arange(start, stop)
-            pad = 0
             if stop - start < chunk_size and n_points > chunk_size:
-                pad = chunk_size - (stop - start)
-                sel = np.concatenate([sel, np.full(pad, start)])
-            sel_dev = jnp.asarray(sel)
+                sel = np.concatenate(
+                    [sel, np.full(chunk_size - (stop - start), start)]
+                )
+            return sel, stop - start
 
-            X, y, w = _chunk_train_data(
+        lane = "lm" if use_lm else ("lbfgs" if use_lbfgs else "nm")
+        geo_cfg = (
+            float(min_distance),
+            float(max_distance),
+            matern_ellipse.anisotropic,
+            delta_x_method,
+            matern_ellipse.physical_distance,
+            bool(physical_distance_selection),
+            max_train_cols,
+            lazy,
+        )
+        group_fit = _group_fit_fn(
+            fun, matern_ellipse._residuals_fit_z, lane, float(tol),
+            geo_cfg,
+        )
+        group = max(1, int(dispatch_chunks))
+        starts = list(range(n_done, n_points, chunk_size))
+        for gstart in range(0, len(starts), group):
+            gstarts = starts[gstart : gstart + group]
+            rows = [_sel_row(s) for s in gstarts]
+            # pad the last group with duplicate rows (n_keep=0) so every
+            # group shares ONE compiled (G, B) program
+            while len(rows) < group and len(starts) > group:
+                rows.append((rows[-1][0], 0))
+            sel_mat = jnp.asarray(np.stack([r[0] for r in rows]))
+            xs, nits_d, succ_d, hd_d = group_fit(
                 lats_all_dev,
                 lons_all_dev,
                 cor_dev,
-                sel_dev,
-                min_distance=min_distance,
-                max_distance=max_distance,
-                anisotropic=matern_ellipse.anisotropic,
-                delta_x_method=delta_x_method,
-                physical_distance=matern_ellipse.physical_distance,
-                physical_distance_selection=physical_distance_selection,
-                max_train_cols=max_train_cols,
-                fisher_z=True,
-                lazy_cor=lazy,
+                sel_mat,
+                x0_single,
+                lo,
+                hi,
             )
-            x0 = jnp.broadcast_to(x0_single, (len(sel), d))
-
-            if use_lm:
-                res = batched_levenberg_marquardt(
-                    matern_ellipse._residuals_fit_z,
-                    x0,
-                    (X, y, w),
-                    (lo, hi),
-                    xtol=tol,
-                )
-            elif use_lbfgs:
-                res = batched_lbfgs(
-                    fun, x0, (X, y, w), (lo, hi), tol=tol
-                )
-            else:
-                res = batched_nelder_mead(
-                    fun, x0, (X, y, w), (lo, hi), xatol=tol, fatol=tol
-                )
             # keep results ON DEVICE: fetching here would block the next
-            # chunk's dispatch behind this chunk's solve, serialising
-            # host round-trips with device compute (measured ~170 ms of
-            # idle per chunk over a remote-tunnel backend). The per-chunk
+            # group's dispatch behind this one's solve, serialising host
+            # round-trips with device compute (measured ~170 ms of idle
+            # per fetch over a remote-tunnel backend). The per-chunk
             # outputs are (B, d) and (B,) — holding every chunk costs
-            # ~0.5 MB, while X/y/w are freed as each loop iteration drops
-            # its references.
-            n_keep = stop - start
-            pending.append(
-                (res.x, res.nit, res.success, jnp.sum(w, axis=1) > 0,
-                 n_keep)
-            )
+            # ~0.5 MB, while the (B, N) training temps are scan-internal
+            # and freed on the device as each iteration completes.
+            for g_i, (_, n_keep) in enumerate(rows):
+                if n_keep == 0:
+                    continue
+                pending.append(
+                    (xs[g_i], nits_d[g_i], succ_d[g_i], hd_d[g_i],
+                     n_keep)
+                )
             if checkpoint is not None and len(pending) >= checkpoint_every:
                 _flush(save=True)
 

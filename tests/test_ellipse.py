@@ -1018,31 +1018,36 @@ def test_compute_params_checkpoint_resume(rng, tmp_path):
 
     import glomargridding_tpu.models.ellipse.estimate as est
 
-    calls = {"n": 0}
-    real_nm = est.batched_nelder_mead
+    # Count GROUP DISPATCHES (with dispatch_chunks=1, one per chunk) by
+    # wrapping the cached group-fit program; the per-chunk work itself
+    # is inside one jitted scan, so optimiser-level counters never fire.
+    calls = {"n": 0, "fail_after": None}
+    real_group_fit_fn = est._group_fit_fn
 
-    def counting_nm(*args, **kw):
-        calls["n"] += 1
-        return real_nm(*args, **kw)
+    def counting_group_fit_fn(*args, **kw):
+        run = real_group_fit_fn(*args, **kw)
 
-    est.batched_nelder_mead = counting_nm
+        def counting_run(*a, **k):
+            if (
+                calls["fail_after"] is not None
+                and calls["n"] >= calls["fail_after"]
+            ):
+                raise KeyboardInterrupt("simulated preemption")
+            calls["n"] += 1
+            return run(*a, **k)
+
+        return counting_run
+
+    est._group_fit_fn = counting_group_fit_fn
     try:
         # reference run without checkpointing
         p_ref = builder.compute_params(**kwargs)
         full_chunks = calls["n"]
         assert full_chunks == 3  # 48 points / 16
 
-        # run 1: checkpoint every chunk, via a builder whose loop we cut
-        # short by raising after 2 chunks
+        # run 1: checkpoint every chunk, cut short after 2 chunks
         calls["n"] = 0
-
-        def failing_nm(*args, **kw):
-            if calls["n"] >= 2:
-                raise KeyboardInterrupt("simulated preemption")
-            calls["n"] += 1
-            return real_nm(*args, **kw)
-
-        est.batched_nelder_mead = failing_nm
+        calls["fail_after"] = 2
         with pytest.raises(KeyboardInterrupt):
             builder.compute_params(
                 checkpoint=ckpt, checkpoint_every=1, **kwargs
@@ -1051,7 +1056,7 @@ def test_compute_params_checkpoint_resume(rng, tmp_path):
 
         # run 2: resume — only the remaining chunk is fitted
         calls["n"] = 0
-        est.batched_nelder_mead = counting_nm
+        calls["fail_after"] = None
         p_res = builder.compute_params(
             checkpoint=ckpt, checkpoint_every=1, **kwargs
         )
@@ -1078,4 +1083,43 @@ def test_compute_params_checkpoint_resume(rng, tmp_path):
                 **{**kwargs, "max_distance": 5000.0},
             )
     finally:
-        est.batched_nelder_mead = real_nm
+        est._group_fit_fn = real_group_fit_fn
+
+
+def test_compute_params_dispatch_chunks_match(rng):
+    """dispatch_chunks>1 (one lax.scan per group) must reproduce the
+    single-dispatch path to float tolerance — same per-chunk
+    computation, one RPC per group. Covers the padded final group
+    (5 chunks, groups of 2)."""
+    builder, lats, lons = _synthetic_builder(rng, size=(8, 10), n=1500)
+    iso = EllipseModel(
+        anisotropic=False, rotated=False, physical_distance=True,
+        v=0.5, unit_sigma=True,
+    )
+    kwargs = dict(
+        default_value=[-999.0] * iso.supercategory_n_params,
+        matern_ellipse=iso,
+        bounds=[(100.0, 20000.0)],
+        guesses=[500.0],
+        max_distance=8000.0,
+        delta_x_method="Modified_Met_Office",
+        chunk_size=16,  # 80 points -> 5 chunks
+    )
+    p1 = builder.compute_params(**kwargs)
+    p2 = builder.compute_params(dispatch_chunks=2, **kwargs)
+    np.testing.assert_array_equal(
+        p1["qc_code"].values, p2["qc_code"].values
+    )
+    np.testing.assert_allclose(
+        p2["R"].values, p1["R"].values, rtol=1e-6, atol=1e-6
+    )
+    # XLA schedules the scan body slightly differently from the lone
+    # dispatch, so a few lanes' NM termination shifts by one iteration
+    # (the optima above still agree to 1e-6)
+    assert (
+        np.abs(
+            p1["number_of_iterations"].values
+            - p2["number_of_iterations"].values
+        )
+        <= 2
+    ).all()
