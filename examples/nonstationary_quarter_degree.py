@@ -26,16 +26,19 @@ end-to-end here:
      through the Woodbury observation solve (diagonal obs error).
 
 Measured (one v5e chip, warm compile cache, 2026-08-18; the remote
-tunnel's run-to-run latency noise gives ranges over three runs):
-training cube 6-22 s (device-resident — EllipseBuilder takes the
-jax.Array, no 62 MB host round-trip), lazy correlation 0.5-5.9 s,
-whole-grid MLE 96-104 s (259,104 of 259,200 fits converged; 32
-grouped dispatches of 8 x 1024 fits), stream-operator warm-up ~10 s,
-PSD repair 38-42 s (rank 1152, trace to 2.4e-7), kriging +
-100 members 2-4 s first dispatch / 0.08 s warm (diagonal obs-error
-vector -> Woodbury route); field RMSE 0.377 = member spread 0.376 =
-mean kriging uncertainty 0.378 (truth drawn from the model's own
-covariance). First-ever run adds one-time XLA compiles (persisted by
+tunnel's run-to-run latency noise gives ranges over five runs):
+training cube 6-65 s (device-resident — EllipseBuilder takes the
+jax.Array, no 62 MB host round-trip; the spread is one-shot program
+shipping over the tunnel), lazy correlation 0.4-5.9 s, whole-grid MLE
+96-104 s fresh — or 0.6-1.5 s resumed from a completed checkpoint —
+(259,104 of 259,200 fits converged; 32 grouped dispatches of
+8 x 1024 fits), stream-operator warm-up 2-10 s, PSD repair 27 s
+(rank 1152, trace to 2.4e-7; deflated warm widening + predicted rank
+— was 38-42 s with joint re-iteration), kriging + 100 members 2-4 s
+first dispatch / 0.08 s warm (diagonal obs-error vector -> Woodbury
+route); field RMSE 0.378 = member spread 0.376 = mean kriging
+uncertainty 0.379 (truth drawn from the model's own covariance).
+First-ever run adds one-time XLA compiles (persisted by
 ``config.enable_compile_cache``).
 
 Run: python examples/nonstationary_quarter_degree.py

@@ -21,6 +21,7 @@ The re-synthesis V diag(w) V' runs as two MXU matmuls.
 """
 
 import logging
+import math
 from dataclasses import dataclass
 from typing import Any, Literal
 from warnings import warn
@@ -349,6 +350,40 @@ def explained_variance_clip_lowrank(
         hit = np.nonzero(csum > target)[0]
         return int(hit[0]) + 1 if hit.size else None
 
+    def predict(w, k):
+        """Estimate the rank the variance target needs by geometric
+        extrapolation of the computed Ritz tail.
+
+        Blind k-doubling overshoots the needed subspace width by up to
+        2x, and every extra column costs a full operator sweep's
+        matmul width (wall-clock on streamed operators). The decaying
+        spectra this clip exists for are locally ~geometric, so the
+        tail ratio of the last quarter of the head predicts how many
+        more eigenvalues reach the target; the solver clamps the
+        prediction to [k + step, 2k], so the provable doubling
+        schedule is the worst case.
+        """
+        wv = np.asarray(w, np.float64)
+        wv = wv[wv > 0]
+        L = wv.size
+        if L < 8:
+            return None
+        remaining = target - float(wv.sum())
+        if remaining <= 0:
+            return L
+        q = max(4, L // 4)
+        a, b = wv[L - q], wv[L - 1]
+        if b <= 0 or a <= b * (1.0 + 1e-12):
+            return None  # tail not decaying: no basis to extrapolate
+        rho = (b / a) ** (1.0 / (q - 1))
+        rho = min(max(rho, 1e-9), 0.99999)
+        geo_inf = b * rho / (1.0 - rho)
+        if geo_inf <= remaining:
+            return None  # even an infinite geometric tail falls short
+        x = remaining * (1.0 - rho) / (b * rho)
+        m = int(math.ceil(math.log1p(-x) / math.log(rho)))
+        return L + max(m, 1)
+
     w, V, r = _adaptive_topk(
         matvec if matvec is not None else A,
         n,
@@ -361,6 +396,7 @@ def explained_variance_clip_lowrank(
         tol=tol,
         rank_multiple=rank_multiple,
         dtype=dtype,
+        predict=predict,
     )
     retained = w[:r]
     var_explained = float(retained.sum())
@@ -480,6 +516,27 @@ def laloux_clip_lowrank(
             return None
         return max(int(np.sum(w > threshold)), 1)
 
+    def predict(w, k):
+        """Rank estimate: geometric tail extrapolation to where the
+        spectrum crosses the RMT ceiling (see the explained-variance
+        predictor for rationale; the solver clamps to [k + step, 2k])."""
+        wv = np.asarray(w, np.float64)
+        wv = wv[wv > 0]
+        L = wv.size
+        if L < 8:
+            return None
+        b = wv[-1]
+        if b <= threshold:
+            return L
+        qq = max(4, L // 4)
+        a = wv[L - qq]
+        if a <= b * (1.0 + 1e-12):
+            return None  # tail not decaying
+        rho = (b / a) ** (1.0 / (qq - 1))
+        rho = min(max(rho, 1e-9), 0.99999)
+        m = int(math.ceil(math.log(threshold / b) / math.log(rho)))
+        return L + max(m, 1)
+
     w, V, r = _adaptive_topk(
         cor_mv,
         n,
@@ -492,6 +549,7 @@ def laloux_clip_lowrank(
         tol=tol,
         rank_multiple=rank_multiple,
         dtype=dtype,
+        predict=predict,
     )
     retained = w[:r]
     avg = 0.0 if r >= n else (n - float(retained.sum())) / (n - r)

@@ -273,9 +273,29 @@ def _fused_stage_fns(fn, n_iter: int):
         return _iterate(operands, fn(*operands, Z))
 
     @jax.jit
-    def warm(operands, B_prev, Z_fresh):
-        Y = jnp.concatenate([B_prev, fn(*operands, Z_fresh)], axis=1)
-        return _iterate(operands, Y)
+    def warm(operands, Q_prev, B_prev, Z_fresh):
+        # DEFLATED widening: iterate only the fresh block against
+        # (I - QQ')A — every sweep costs the FRESH width, not the full
+        # one (the converged block's action B_prev = A Q_prev is exact
+        # and carried). The final Rayleigh-Ritz on [Q_prev, Q_fresh]
+        # resolves any residual coupling, and acceptance still goes
+        # through the exact-residual gate, so accuracy is unchanged.
+        all_ok = jnp.asarray(True)
+        Y = fn(*operands, Z_fresh)
+        for _ in range(n_iter):
+            Y = Y - Q_prev @ (Q_prev.T @ Y)
+            Qf, ok = _cholqr2(Y)
+            all_ok = all_ok & ok
+            Y = fn(*operands, Qf)
+        Y = Y - Q_prev @ (Q_prev.T @ Y)
+        Qf, ok = _cholqr2(Y)
+        all_ok = all_ok & ok
+        Bf = fn(*operands, Qf)
+        Q = jnp.concatenate([Q_prev, Qf], axis=1)
+        B = jnp.concatenate([B_prev, Bf], axis=1)
+        T = Q.T @ B
+        T = 0.5 * (T + T.T)
+        return Q, B, all_ok, T
 
     @jax.jit
     def extra(operands, B):
@@ -322,6 +342,7 @@ def adaptive_topk_eigh(
     extra_rounds: int = 2,
     rank_multiple: int = 1,
     dtype=None,
+    predict: Callable | None = None,
 ) -> tuple[np.ndarray, jax.Array, int]:
     """Adaptive top-of-spectrum solve: find the retained rank a clip
     needs, growing the subspace only as far as the spectrum demands.
@@ -342,10 +363,17 @@ def adaptive_topk_eigh(
 
     When a candidate fails only the residual gate, up to
     ``extra_rounds`` additional power iterations sharpen the SAME block
-    (one matvec each) before widening. Widening is WARM-STARTED: the
-    next block is [A Q_converged, A G_fresh], so prior convergence is
-    carried instead of thrown away (round-2 weakness: the converged
-    block was discarded on every k-doubling).
+    (one matvec each) before widening. Widening is WARM-STARTED and
+    DEFLATED: the converged block's basis Q and exact action B = A Q
+    are carried, and only the FRESH columns are iterated — against
+    (I - QQ')A, so each widening sweep costs the fresh width rather
+    than the full width (a streamed operator's sweep cost is linear in
+    block width). The final Rayleigh-Ritz runs on the combined block,
+    so any residual coupling between the frozen and fresh subspaces is
+    resolved exactly, and acceptance still passes through the
+    exact-residual gate. (Round-2 weakness: the converged block was
+    discarded on every k-doubling; the round-3 joint re-iteration
+    carried it but re-paid full-width sweeps.)
 
     ``tol`` defaults by dtype: 1e-10 for f64 (the clip parity tests
     pin 1e-8 against full LAPACK), 1e-2 for f32. The f32 default is
@@ -366,6 +394,21 @@ def adaptive_topk_eigh(
     columns are genuine Ritz vectors whose values the caller must
     zero-gain (the clips do); ``r`` still reports the true retained
     rank.
+
+    ``predict(w, k)`` (optional) maps the current Ritz head to an
+    ESTIMATE of the rank the acceptance will need (or None when it
+    cannot tell). Blind doubling overshoots the needed width by up to
+    2x — and every sweep of a streamed operator pays the full n^2
+    kernel assembly times the block width, so overshoot is wall-clock.
+    A prediction (e.g. geometric tail extrapolation for an
+    explained-variance target, as
+    ``ops.covariance_tools.explained_variance_clip_lowrank`` supplies)
+    widens to ~ the predicted rank (+10% + oversample, rounded to
+    ``rank_multiple``) instead — narrowing an overshooting doubling,
+    or jumping PAST one when ``k0`` was far too small (each skipped
+    stage saves ``n_iter + 2`` full operator sweeps). Clamped to
+    [k + step, 4k] so a bad prediction can neither stall the widening
+    nor blow up the block allocation.
 
     Returns (w, V, r): ``w`` the full computed Ritz head (descending,
     numpy), ``V`` the (n, rp) retained Ritz vectors (device,
@@ -390,7 +433,7 @@ def adaptive_topk_eigh(
     if isinstance(matvec, Matvec):
         fused = _fused_stage_fns(matvec.fn, n_iter)
 
-    def run_stage(sub, width, B_prev):
+    def run_stage(sub, width, Q_prev, B_prev):
         """(Q, B, all_ok(device), T_host) for one widened stage."""
         if fused is not None:
             cold, warm_fn, _ = fused
@@ -401,27 +444,42 @@ def adaptive_topk_eigh(
                 Z = jax.random.normal(
                     sub, (n, width - B_prev.shape[1]), dtype
                 )
-                Q, Bn, ok, T = warm_fn(matvec.operands, B_prev, Z)
+                Q, Bn, ok, T = warm_fn(
+                    matvec.operands, Q_prev, B_prev, Z
+                )
             return Q, Bn, ok, T
         if B_prev is None:
             Y = jnp.asarray(
                 matvec(jax.random.normal(sub, (n, width), dtype))
             )
-        else:
-            fresh = jax.random.normal(
-                sub, (n, width - B_prev.shape[1]), dtype
-            )
-            Y = jnp.concatenate(
-                [B_prev, jnp.asarray(matvec(fresh))], axis=1
-            )
-        all_ok = jnp.asarray(True)
-        for _ in range(n_iter):
+            all_ok = jnp.asarray(True)
+            for _ in range(n_iter):
+                Q, ok = _cholqr2(Y)
+                all_ok = all_ok & ok
+                Y = jnp.asarray(matvec(Q))
             Q, ok = _cholqr2(Y)
             all_ok = all_ok & ok
-            Y = jnp.asarray(matvec(Q))
-        Q, ok = _cholqr2(Y)
+            Bn = jnp.asarray(matvec(Q))
+            T = Q.T @ Bn
+            return Q, Bn, all_ok, 0.5 * (T + T.T)
+        # deflated widening (see the fused `warm` above): sweeps cost
+        # the FRESH width only
+        fresh = jax.random.normal(
+            sub, (n, width - B_prev.shape[1]), dtype
+        )
+        all_ok = jnp.asarray(True)
+        Y = jnp.asarray(matvec(fresh))
+        for _ in range(n_iter):
+            Y = Y - Q_prev @ (Q_prev.T @ Y)
+            Qf, ok = _cholqr2(Y)
+            all_ok = all_ok & ok
+            Y = jnp.asarray(matvec(Qf))
+        Y = Y - Q_prev @ (Q_prev.T @ Y)
+        Qf, ok = _cholqr2(Y)
         all_ok = all_ok & ok
-        Bn = jnp.asarray(matvec(Q))
+        Bf = jnp.asarray(matvec(Qf))
+        Q = jnp.concatenate([Q_prev, Qf], axis=1)
+        Bn = jnp.concatenate([B_prev, Bf], axis=1)
         T = Q.T @ Bn
         return Q, Bn, all_ok, 0.5 * (T + T.T)
 
@@ -434,7 +492,10 @@ def adaptive_topk_eigh(
         return Q2, B2, ok, 0.5 * (T + T.T)
 
     k = min(n, k0)
-    B = None  # A @ Q of the converged block, carried across widenings
+    # converged block carried across widenings: Q (orthonormal basis)
+    # and B = A @ Q (its exact action)
+    Q = None
+    B = None
     while True:
         width = min(n, k + oversample)
         if width >= n:
@@ -448,7 +509,7 @@ def adaptive_topk_eigh(
             return w, jnp.asarray(V[:, :r]), r
 
         key, sub = jax.random.split(key)
-        Q, B, all_ok, T = run_stage(sub, width, B)
+        Q, B, all_ok, T = run_stage(sub, width, Q, B)
 
         rounds = 0
         while True:
@@ -509,7 +570,27 @@ def adaptive_topk_eigh(
                 "flat for a low-rank clip; lower the target or use "
                 "spectrum='full'."
             )
-        k = min(n, min(max_rank, 2 * k))
+        cap = min(n, max_rank)
+        k_next = min(cap, 2 * k)
+        if predict is not None:
+            p = predict(w, k)
+            if p is not None:
+                step = max(oversample, rank_multiple)
+                p = int(1.1 * p) + oversample
+                p = -(-p // max(1, rank_multiple)) * max(1, rank_multiple)
+                # a prediction may NARROW the widening (doubling
+                # overshoots a rank just past k) or SKIP AHEAD (k0 far
+                # below the needed rank: jumping saves whole
+                # (n_iter + 2)-sweep stages); bound it to [k + step, 4k]
+                # so a wild extrapolation can neither stall nor blow
+                # the block allocation
+                k_next = min(cap, max(k + step, min(p, 4 * k)))
+                logger.info(
+                    "adaptive eigh: predicted rank -> widen %d -> %d "
+                    "(doubling would be %d)", k, k_next,
+                    min(cap, 2 * k),
+                )
+        k = k_next
 
 
 def topk_from_callable(
