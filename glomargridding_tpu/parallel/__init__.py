@@ -12,7 +12,11 @@ from .linalg import (
     sharded_triangular_solve,
     sharded_whiten,
 )
-from .ellipse import sharded_ellipse_covariance, sharded_state_draws
+from .ellipse import (
+    sharded_ellipse_covariance,
+    sharded_ellipse_stream_operator,
+    sharded_state_draws,
+)
 from .lowrank import (
     sharded_lowrank_ensemble_step,
     sharded_lowrank_kriging,
@@ -26,6 +30,7 @@ __all__ = [
     "sharded_cholesky",
     "sharded_triangular_solve",
     "sharded_ellipse_covariance",
+    "sharded_ellipse_stream_operator",
     "sharded_state_draws",
     "sharded_kriging_from_kernel",
     "sharded_mvn_logpdf",

@@ -430,3 +430,120 @@ def test_sharded_whiten_and_mvn_logpdf(rng):
     one = sharded_mvn_logpdf(mesh, L, jnp.asarray(X[:, 0]))
     want1 = multivariate_normal(mean=np.zeros(n), cov=C).logpdf(X[:, 0])
     np.testing.assert_allclose(float(one), want1, rtol=1e-9)
+
+
+def test_sharded_stream_operator_parity():
+    """Ring-SUMMA sharded zero-storage matvec == dense single-process
+    assembly of the same Paciorek-Schervish covariance."""
+    from glomargridding_tpu.models.ellipse.covariance import (
+        ellipse_covariance_block,
+    )
+    from glomargridding_tpu.ops.distances import sigma_rot_flat
+    from glomargridding_tpu.parallel.ellipse import (
+        sharded_ellipse_stream_operator,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 256
+    lats = rng.uniform(-60, 60, n).astype(np.float32)
+    lons = rng.uniform(-180, 180, n).astype(np.float32)
+    Lx = rng.uniform(800, 2000, n).astype(np.float32)
+    Ly = rng.uniform(500, 1200, n).astype(np.float32)
+    th = rng.uniform(-1, 1, n).astype(np.float32)
+    sd = rng.uniform(0.5, 1.5, n).astype(np.float32)
+
+    mesh = make_mesh(n_grid=8, n_ens=1)
+    mv, n_op, trace = sharded_ellipse_stream_operator(
+        mesh, Lx, Ly, th, sd, lats, lons, v=1.5
+    )
+    assert n_op == n
+    X = jnp.asarray(rng.standard_normal((n, 7)).astype(np.float32))
+    out = np.asarray(mv(X))
+
+    la = jnp.radians(jnp.asarray(lats))
+    lo = jnp.radians(jnp.asarray(lons))
+    s00, s01, _, s11 = sigma_rot_flat(
+        jnp.asarray(Lx), jnp.asarray(Ly), jnp.asarray(th)
+    )
+    sig = jnp.stack([s00, s01, s11], axis=-1)
+    sqd = jnp.sqrt(s00 * s11 - s01 * s01)
+    dense = np.asarray(
+        ellipse_covariance_block(
+            la, lo, sig, sqd, jnp.asarray(sd),
+            la, lo, sig, sqd, jnp.asarray(sd),
+            v=1.5,
+        )
+    ) + np.diag(sd.astype(np.float64) ** 2)
+    want = dense @ np.asarray(X)
+    np.testing.assert_allclose(out, want, rtol=2e-4, atol=2e-5)
+
+    # 1-d vector form and trace contract
+    v1 = np.asarray(mv(X[:, 0]))
+    np.testing.assert_allclose(v1, want[:, 0], rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(trace, float(np.trace(dense)), rtol=1e-5)
+
+    # fn memoisation: re-created operator shares the fn slot (fused
+    # clip stages hit the jit cache across monthly re-creations)
+    mv2, _, _ = sharded_ellipse_stream_operator(
+        mesh, Lx, Ly, th, sd, lats, lons, v=1.5
+    )
+    assert mv2.fn is mv.fn
+
+
+def test_sharded_stream_clip_matches_dense_clip():
+    """The device-scale explained-variance clip runs UNCHANGED on the
+    row-sharded stream operator (fused stages, deflated widening) and
+    reproduces the full-LAPACK dense clip."""
+    from glomargridding_tpu.models.ellipse.covariance import (
+        ellipse_covariance_block,
+    )
+    from glomargridding_tpu.ops.covariance_tools import (
+        explained_variance_clip,
+        explained_variance_clip_lowrank,
+    )
+    from glomargridding_tpu.ops.distances import sigma_rot_flat
+    from glomargridding_tpu.parallel.ellipse import (
+        sharded_ellipse_stream_operator,
+    )
+
+    rng = np.random.default_rng(12)
+    n = 256
+    lats = rng.uniform(-60, 60, n).astype(np.float32)
+    lons = rng.uniform(-180, 180, n).astype(np.float32)
+    Lx = rng.uniform(1500, 3000, n).astype(np.float32)
+    Ly = rng.uniform(900, 1800, n).astype(np.float32)
+    th = rng.uniform(-1, 1, n).astype(np.float32)
+    sd = rng.uniform(0.5, 1.5, n).astype(np.float32)
+
+    mesh = make_mesh(n_grid=8, n_ens=1)
+    mv, n_op, trace = sharded_ellipse_stream_operator(
+        mesh, Lx, Ly, th, sd, lats, lons, v=1.5
+    )
+    psd = explained_variance_clip_lowrank(
+        mv, n=n_op, trace=trace, target_variance_fraction=0.90,
+        key=jax.random.key(2), k0=32, max_rank=256, n_iter=6,
+    )
+
+    la = jnp.radians(jnp.asarray(lats))
+    lo = jnp.radians(jnp.asarray(lons))
+    s00, s01, _, s11 = sigma_rot_flat(
+        jnp.asarray(Lx), jnp.asarray(Ly), jnp.asarray(th)
+    )
+    sig = jnp.stack([s00, s01, s11], axis=-1)
+    sqd = jnp.sqrt(s00 * s11 - s01 * s01)
+    dense = np.asarray(
+        ellipse_covariance_block(
+            la, lo, sig, sqd, jnp.asarray(sd),
+            la, lo, sig, sqd, jnp.asarray(sd),
+            v=1.5,
+        )
+    ).astype(np.float64) + np.diag(sd.astype(np.float64) ** 2)
+    want = explained_variance_clip(
+        dense, 0.90, spectrum="full"
+    )
+    got = np.asarray(psd.to_dense())
+    err = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert err < 5e-4, err
+    np.testing.assert_allclose(
+        float(psd.trace()), float(np.trace(dense)), rtol=1e-5
+    )
