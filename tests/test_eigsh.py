@@ -394,3 +394,47 @@ def test_predicted_widening_saves_stages(rng):
     # pays only the FRESH width per sweep -> measured 1056. Pin the
     # regression boundary between the old and new behaviour.
     assert total_sweep_cols < 1500, total_sweep_cols
+
+
+def test_laloux_predicted_widening(rng):
+    """The Laloux clip's rank predictor (extrapolate to the RMT
+    ceiling) drives widening from a far-too-small k0 to the full-
+    spectrum answer."""
+    from glomargridding_tpu.ops.covariance_tools import (
+        laloux_clip,
+        laloux_clip_lowrank,
+    )
+
+    # 96 blocks of 8 with DECAYING internal correlation: one distinct
+    # eigenvalue 1 + 7 rho_i per block, decaying geometrically through
+    # the q=1 RMT ceiling of 4.0 -> ~70 retained pairs, a spectrum the
+    # rank predictor can extrapolate
+    n, b = 768, 8
+    rhos = 0.9 * 0.99 ** np.arange(n // b)
+    blocks = [
+        (1.0 - r) * np.eye(b) + np.full((b, b), r) for r in rhos
+    ]
+    import scipy.linalg as sla
+
+    cor = sla.block_diag(*blocks)
+    variances = rng.uniform(0.5, 2.0, size=n)
+    cov = cor * np.sqrt(np.outer(variances, variances))
+    full = laloux_clip(cov, num_time_pts=n, spectrum="full")
+
+    widths = []
+
+    def mv(X):
+        X = np.asarray(X)
+        widths.append(X.shape[1] if X.ndim == 2 else 1)
+        return cov @ X
+
+    psd = laloux_clip_lowrank(
+        mv, diag=np.diag(cov), n=n, num_time_pts=n,
+        key=jax.random.key(4), k0=8, max_rank=512, n_iter=6, tol=1e-2,
+    )
+    part = np.asarray(psd.to_dense())
+    err = np.linalg.norm(part - full) / np.linalg.norm(full)
+    assert err < 5e-3, err
+    # the predictor must jump close to the ~96-rank answer instead of
+    # walking the full doubling ladder; the widest block stays bounded
+    assert max(widths) <= int(1.6 * psd.rank) + 24, (max(widths), psd.rank)
