@@ -149,6 +149,9 @@ def main(small=False):
         ],
         tol=1e-3,
         chunk_size=2048,
+        # 4 chunks per jitted lax.scan dispatch (the production lane;
+        # driver-recorded ~11% off the warm chunk wall at 259k)
+        dispatch_chunks=4,
         # batched Nelder-Mead (default): measured fastest lane at this
         # scale — the 95 s round-2 stage wall was the exact-top-k XLA
         # compile, not the optimizer (docs/perf.md); opt_method="lm"

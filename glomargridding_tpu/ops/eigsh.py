@@ -28,6 +28,7 @@ only consume subspace width.
 """
 
 import logging
+import time
 from typing import Callable
 
 import jax
@@ -38,6 +39,12 @@ import numpy as np
 from .sampling import Matvec, dense_matvec
 
 logger = logging.getLogger(__name__)
+
+# A widening locks converged Ritz pairs (sweeps at the active width)
+# only when the previous stage's measured wall says operator sweeps are
+# expensive; below this, the joint warm start's better-converged head
+# (round-0 acceptance) wins. See adaptive_topk_eigh's widening block.
+_LOCK_MIN_STAGE_S = 5.0
 
 
 class PartialSpectrumError(ValueError):
@@ -273,26 +280,38 @@ def _fused_stage_fns(fn, n_iter: int):
         return _iterate(operands, fn(*operands, Z))
 
     @jax.jit
-    def warm(operands, Q_prev, B_prev, Z_fresh):
-        # DEFLATED widening: iterate only the fresh block against
-        # (I - QQ')A — every sweep costs the FRESH width, not the full
-        # one (the converged block's action B_prev = A Q_prev is exact
-        # and carried). The final Rayleigh-Ritz on [Q_prev, Q_fresh]
-        # resolves any residual coupling, and acceptance still goes
-        # through the exact-residual gate, so accuracy is unchanged.
+    def warm(operands, Q_lock, B_lock, B_act, Z_fresh):
+        # LOCKED widening: the caller has split the previous stage's
+        # Ritz pairs into a CONVERGED leading prefix (Q_lock with its
+        # exact action B_lock = A Q_lock — measured residuals, not
+        # assumed) and the rest (warm-started from their current action
+        # B_act). Only [B_act | A Z_fresh] iterates, deflated against
+        # the locked basis, so each sweep costs the ACTIVE width; the
+        # final Rayleigh-Ritz on the combined block resolves coupling
+        # exactly and acceptance still passes the exact-residual gate.
+        # Q_lock may have zero columns (nothing converged: plain joint
+        # re-iteration) or the full previous width (everything
+        # converged: pure fresh-block deflation) — one code path.
+        # The active block runs n_iter + 2 sweeps: a joint warm start
+        # effectively gives carried pairs extra passes every stage;
+        # the locked path must buy the same accuracy for its active
+        # pairs explicitly, and active-width sweeps are the cheap ones
+        # (measured at 16k: without these, round-0 acceptance fails
+        # where the joint path passed, costing a full-width extra
+        # round + host eigh + factor upload).
         all_ok = jnp.asarray(True)
-        Y = fn(*operands, Z_fresh)
-        for _ in range(n_iter):
-            Y = Y - Q_prev @ (Q_prev.T @ Y)
-            Qf, ok = _cholqr2(Y)
+        Y = jnp.concatenate([B_act, fn(*operands, Z_fresh)], axis=1)
+        for _ in range(n_iter + 2):
+            Y = Y - Q_lock @ (Q_lock.T @ Y)
+            Qa, ok = _cholqr2(Y)
             all_ok = all_ok & ok
-            Y = fn(*operands, Qf)
-        Y = Y - Q_prev @ (Q_prev.T @ Y)
-        Qf, ok = _cholqr2(Y)
+            Y = fn(*operands, Qa)
+        Y = Y - Q_lock @ (Q_lock.T @ Y)
+        Qa, ok = _cholqr2(Y)
         all_ok = all_ok & ok
-        Bf = fn(*operands, Qf)
-        Q = jnp.concatenate([Q_prev, Qf], axis=1)
-        B = jnp.concatenate([B_prev, Bf], axis=1)
+        Ba = fn(*operands, Qa)
+        Q = jnp.concatenate([Q_lock, Qa], axis=1)
+        B = jnp.concatenate([B_lock, Ba], axis=1)
         T = Q.T @ B
         T = 0.5 * (T + T.T)
         return Q, B, all_ok, T
@@ -308,6 +327,20 @@ def _fused_stage_fns(fn, n_iter: int):
     cached = (cold, warm, extra)
     _STAGE_JIT_CACHE[(fn, n_iter)] = cached
     return cached
+
+
+@jax.jit
+def _rotate_ritz(Q, B, U_sorted, theta_sorted):
+    """Ritz rotation + per-pair exact residual norms.
+
+    QU = current Ritz vectors (descending eigenvalue order), BU their
+    exact action (B = A Q so A QU = BU), rn_j = ||A u_j - theta_j u_j||
+    — everything the locking split needs, two (n, w) matmuls total.
+    """
+    QU = Q @ U_sorted
+    BU = B @ U_sorted
+    rn = jnp.linalg.norm(BU - QU * theta_sorted[None, :], axis=0)
+    return QU, BU, rn
 
 
 def _householder_iterate(matvec, key, n, width, n_iter, dtype):
@@ -363,17 +396,23 @@ def adaptive_topk_eigh(
 
     When a candidate fails only the residual gate, up to
     ``extra_rounds`` additional power iterations sharpen the SAME block
-    (one matvec each) before widening. Widening is WARM-STARTED and
-    DEFLATED: the converged block's basis Q and exact action B = A Q
-    are carried, and only the FRESH columns are iterated — against
-    (I - QQ')A, so each widening sweep costs the fresh width rather
-    than the full width (a streamed operator's sweep cost is linear in
-    block width). The final Rayleigh-Ritz runs on the combined block,
-    so any residual coupling between the frozen and fresh subspaces is
-    resolved exactly, and acceptance still passes through the
-    exact-residual gate. (Round-2 weakness: the converged block was
-    discarded on every k-doubling; the round-3 joint re-iteration
-    carried it but re-paid full-width sweeps.)
+    (one matvec each) before widening. Widening is WARM-STARTED with
+    RITZ LOCKING: the previous stage's Ritz pairs are split by their
+    MEASURED residuals — the converged leading prefix is frozen
+    (its basis and exact action carried; alignment rounds the lock
+    count DOWN to ``rank_multiple`` so no unconverged pair is ever
+    frozen), while the remaining pairs re-iterate (warm-started from
+    their current action) together with the fresh random columns,
+    deflated against the locked basis. Each widening sweep therefore
+    costs only the ACTIVE width (a streamed operator's sweep cost is
+    linear in block width), the poorly-converged block-edge pairs keep
+    iterating rather than being frozen, and the final Rayleigh-Ritz on
+    the combined block resolves locked/active coupling exactly.
+    Acceptance always passes through the exact-residual gate, so
+    locking affects cost, never correctness. (Round-2 weakness: the
+    converged block was discarded on every k-doubling; plain joint
+    re-iteration carried it but re-paid full-width sweeps for pairs
+    that were already converged.)
 
     ``tol`` defaults by dtype: 1e-10 for f64 (the clip parity tests
     pin 1e-8 against full LAPACK), 1e-2 for f32. The f32 default is
@@ -403,12 +442,15 @@ def adaptive_topk_eigh(
     A prediction (e.g. geometric tail extrapolation for an
     explained-variance target, as
     ``ops.covariance_tools.explained_variance_clip_lowrank`` supplies)
-    widens to ~ the predicted rank (+10% + oversample, rounded to
-    ``rank_multiple``) instead — narrowing an overshooting doubling,
-    or jumping PAST one when ``k0`` was far too small (each skipped
-    stage saves ``n_iter + 2`` full operator sweeps). Clamped to
-    [k + step, 4k] so a bad prediction can neither stall the widening
-    nor blow up the block allocation.
+    NARROWS the widening to ~ the predicted rank (+10% + oversample,
+    rounded to ``rank_multiple``), clamped to [k + step, 2k]: a
+    doubling that overshoots a rank just past k pays CholQR cost
+    quadratic in the excess width, while with Ritz locking an extra
+    stage (the undershoot risk) is cheap. The prediction is fed only
+    the measured-converged Ritz prefix, and jumping ahead of the
+    doubling schedule is deliberately banned — real spectra decay
+    faster than a local geometric fit, so trusted extrapolations
+    overshoot (measured at 16k: 512 -> 1536 for a true need of ~650).
 
     Returns (w, V, r): ``w`` the full computed Ritz head (descending,
     numpy), ``V`` the (n, rp) retained Ritz vectors (device,
@@ -433,22 +475,25 @@ def adaptive_topk_eigh(
     if isinstance(matvec, Matvec):
         fused = _fused_stage_fns(matvec.fn, n_iter)
 
-    def run_stage(sub, width, Q_prev, B_prev):
-        """(Q, B, all_ok(device), T_host) for one widened stage."""
+    def run_stage(sub, width, locked):
+        """(Q, B, all_ok(device), T_host) for one widened stage.
+
+        `locked` is None for the cold first stage, else the
+        (Q_lock, B_lock, B_act) split of the previous stage's Ritz
+        pairs: the measured-converged leading prefix is frozen
+        (deflation), the rest re-iterates warm-started from its
+        current action alongside the fresh random columns.
+        """
         if fused is not None:
             cold, warm_fn, _ = fused
-            if B_prev is None:
+            if locked is None:
                 Z = jax.random.normal(sub, (n, width), dtype)
-                Q, Bn, ok, T = cold(matvec.operands, Z)
-            else:
-                Z = jax.random.normal(
-                    sub, (n, width - B_prev.shape[1]), dtype
-                )
-                Q, Bn, ok, T = warm_fn(
-                    matvec.operands, Q_prev, B_prev, Z
-                )
-            return Q, Bn, ok, T
-        if B_prev is None:
+                return cold(matvec.operands, Z)
+            Q_lock, B_lock, B_act = locked
+            n_fresh = width - Q_lock.shape[1] - B_act.shape[1]
+            Z = jax.random.normal(sub, (n, n_fresh), dtype)
+            return warm_fn(matvec.operands, Q_lock, B_lock, B_act, Z)
+        if locked is None:
             Y = jnp.asarray(
                 matvec(jax.random.normal(sub, (n, width), dtype))
             )
@@ -462,24 +507,26 @@ def adaptive_topk_eigh(
             Bn = jnp.asarray(matvec(Q))
             T = Q.T @ Bn
             return Q, Bn, all_ok, 0.5 * (T + T.T)
-        # deflated widening (see the fused `warm` above): sweeps cost
-        # the FRESH width only
-        fresh = jax.random.normal(
-            sub, (n, width - B_prev.shape[1]), dtype
-        )
+        # locked widening (see the fused `warm`): sweeps cost the
+        # ACTIVE width only; n_iter + 2 active sweeps (see fused)
+        Q_lock, B_lock, B_act = locked
+        n_fresh = width - Q_lock.shape[1] - B_act.shape[1]
+        fresh = jax.random.normal(sub, (n, n_fresh), dtype)
         all_ok = jnp.asarray(True)
-        Y = jnp.asarray(matvec(fresh))
-        for _ in range(n_iter):
-            Y = Y - Q_prev @ (Q_prev.T @ Y)
-            Qf, ok = _cholqr2(Y)
+        Y = jnp.concatenate(
+            [B_act, jnp.asarray(matvec(fresh))], axis=1
+        )
+        for _ in range(n_iter + 2):
+            Y = Y - Q_lock @ (Q_lock.T @ Y)
+            Qa, ok = _cholqr2(Y)
             all_ok = all_ok & ok
-            Y = jnp.asarray(matvec(Qf))
-        Y = Y - Q_prev @ (Q_prev.T @ Y)
-        Qf, ok = _cholqr2(Y)
+            Y = jnp.asarray(matvec(Qa))
+        Y = Y - Q_lock @ (Q_lock.T @ Y)
+        Qa, ok = _cholqr2(Y)
         all_ok = all_ok & ok
-        Bf = jnp.asarray(matvec(Qf))
-        Q = jnp.concatenate([Q_prev, Qf], axis=1)
-        Bn = jnp.concatenate([B_prev, Bf], axis=1)
+        Ba = jnp.asarray(matvec(Qa))
+        Q = jnp.concatenate([Q_lock, Qa], axis=1)
+        Bn = jnp.concatenate([B_lock, Ba], axis=1)
         T = Q.T @ Bn
         return Q, Bn, all_ok, 0.5 * (T + T.T)
 
@@ -492,10 +539,18 @@ def adaptive_topk_eigh(
         return Q2, B2, ok, 0.5 * (T + T.T)
 
     k = min(n, k0)
-    # converged block carried across widenings: Q (orthonormal basis)
-    # and B = A @ Q (its exact action)
+    # `locked` carries the previous stage's Ritz pairs into the next
+    # widening, split by MEASURED residuals: (Q_lock, B_lock) the
+    # converged leading prefix (frozen: deflation), B_act the action of
+    # the still-inaccurate pairs (warm start for re-iteration). None =
+    # cold first stage. `stage_wall` is the measured wall of the last
+    # stage (dispatch through the first projection fetch): locking only
+    # pays when operator sweeps are expensive, so cheap-stage clips
+    # keep the plain joint warm start (see the widening block).
     Q = None
     B = None
+    locked = None
+    stage_wall = 0.0
     while True:
         width = min(n, k + oversample)
         if width >= n:
@@ -509,12 +564,15 @@ def adaptive_topk_eigh(
             return w, jnp.asarray(V[:, :r]), r
 
         key, sub = jax.random.split(key)
-        Q, B, all_ok, T = run_stage(sub, width, Q, B)
+        t_stage = time.perf_counter()
+        Q, B, all_ok, T = run_stage(sub, width, locked)
 
         rounds = 0
         while True:
             # ONE host sync resolves T and every validity flag so far
             T_host, ok_host = np.asarray(T), bool(np.asarray(all_ok))
+            if rounds == 0:
+                stage_wall = time.perf_counter() - t_stage
             if not ok_host:
                 key, sub = jax.random.split(key)
                 Q, B = _householder_iterate(
@@ -570,26 +628,68 @@ def adaptive_topk_eigh(
                 "flat for a low-rank clip; lower the target or use "
                 "spectrum='full'."
             )
+        # Widening warm-start flavour, chosen by the MEASURED stage
+        # wall. Ritz locking trades (a) extra acceptance rounds — the
+        # active block starts less converged than a jointly re-iterated
+        # one — against (b) sweeps at the active width instead of the
+        # full width. (b) only wins when a sweep is expensive (streamed
+        # kernel-recompute operators at large n: 1-2.6 s per sweep at
+        # 259k, where locking cut the repair 38-42 s -> 27 s); for
+        # cheap sweeps (16k stream: 0.03 s) the joint path's round-0
+        # acceptance wins (measured: 0.66 s joint vs 4-11 s locked).
+        align = max(1, rank_multiple)
+        scale = max(abs(float(w[0])), np.finfo(np.float32).tiny)
+        if stage_wall >= _LOCK_MIN_STAGE_S:
+            # lock the converged leading prefix (aligned DOWN so no
+            # unconverged pair is ever frozen), carry the rest's
+            # action as the re-iteration warm start. ~2 (n, w) matmuls
+            # — pure MXU, no operator sweep.
+            U_sorted = jnp.asarray(U[:, order.copy()])
+            theta_sorted = jnp.asarray(w, U_sorted.dtype)
+            QU, BU, rn = _rotate_ritz(Q, B, U_sorted, theta_sorted)
+            conv = np.asarray(rn) / scale <= tol
+            n_conv = (
+                int(np.argmin(conv)) if not conv.all() else len(conv)
+            )
+            n_lock = n_conv - n_conv % align
+            locked = (QU[:, :n_lock], BU[:, :n_lock], BU[:, n_lock:])
+        else:
+            # joint re-iteration: carry the whole block's action, lock
+            # nothing (round-3 behaviour; no rotation, no U upload)
+            n_conv = len(w)
+            n_lock = 0
+            locked = (Q[:, :0], B[:, :0], B)
+
         cap = min(n, max_rank)
         k_next = min(cap, 2 * k)
         if predict is not None:
-            p = predict(w, k)
+            # extrapolate ONLY from the measured-converged prefix:
+            # unconverged tail Ritz values are biased and an
+            # extrapolation from them over- or under-shoots wildly
+            # (measured at 16k: a full-head prediction widened 512 ->
+            # 1536 where the true need was ~650, and the CholQR cost
+            # at the inflated width dominated the clip)
+            p = predict(w[:n_conv], k)
             if p is not None:
                 step = max(oversample, rank_multiple)
                 p = int(1.1 * p) + oversample
-                p = -(-p // max(1, rank_multiple)) * max(1, rank_multiple)
-                # a prediction may NARROW the widening (doubling
-                # overshoots a rank just past k) or SKIP AHEAD (k0 far
-                # below the needed rank: jumping saves whole
-                # (n_iter + 2)-sweep stages); bound it to [k + step, 4k]
-                # so a wild extrapolation can neither stall nor blow
-                # the block allocation
-                k_next = min(cap, max(k + step, min(p, 4 * k)))
-                logger.info(
-                    "adaptive eigh: predicted rank -> widen %d -> %d "
-                    "(doubling would be %d)", k, k_next,
-                    min(cap, 2 * k),
-                )
+                p = -(-p // align) * align
+                # a prediction may only NARROW the widening (a doubling
+                # that overshoots a rank just past k pays CholQR and
+                # sweep cost quadratic/linear in the excess width).
+                # Skipping AHEAD of the doubling schedule is banned:
+                # real spectra decay faster than a local geometric fit
+                # (measured at 16k: a trusted extrapolation widened
+                # 512 -> 1536 for a true need of ~650 and the CholQR
+                # at the inflated width dominated the clip), and with
+                # Ritz locking an extra stage is cheap — only the
+                # unconverged tail re-iterates.
+                k_next = min(cap, max(k + step, min(p, 2 * k)))
+        logger.info(
+            "adaptive eigh: widening %d -> %d (doubling %d), locking "
+            "%d of %d computed pairs (stage wall %.2f s)",
+            k, k_next, min(cap, 2 * k), n_lock, len(w), stage_wall,
+        )
         k = k_next
 
 
