@@ -28,7 +28,6 @@ only consume subspace width.
 """
 
 import logging
-import time
 from typing import Callable
 
 import jax
@@ -41,10 +40,19 @@ from .sampling import Matvec, dense_matvec
 logger = logging.getLogger(__name__)
 
 # A widening locks converged Ritz pairs (sweeps at the active width)
-# only when the previous stage's measured wall says operator sweeps are
-# expensive; below this, the joint warm start's better-converged head
-# (round-0 acceptance) wins. See adaptive_topk_eigh's widening block.
-_LOCK_MIN_STAGE_S = 5.0
+# only above this operator dimension. Rationale: locking pays when an
+# operator SWEEP is expensive — streamed kernel-recompute operators
+# whose per-sweep cost scales n² (~1-2.6 s at 259k), and only
+# streamed/sharded operators exist at such n (a dense store would not
+# fit). Below it, the joint warm start wins: its head gains extra
+# passes each stage and accepts at round 0 (measured at 16k stream:
+# 0.66-0.74 s joint vs 4-11 s locked). The threshold is a STATIC
+# property of the problem, deliberately not a measured wall: a
+# wall-clock decision flipped flavours between the compile call
+# (compile-inflated wall) and the warm call of the same clip, and the
+# flipped flavour's program compiled inside the "warm" run (measured:
+# a 74 s warm 16k clip).
+_LOCK_MIN_N = 200_000
 
 
 class PartialSpectrumError(ValueError):
@@ -543,14 +551,11 @@ def adaptive_topk_eigh(
     # widening, split by MEASURED residuals: (Q_lock, B_lock) the
     # converged leading prefix (frozen: deflation), B_act the action of
     # the still-inaccurate pairs (warm start for re-iteration). None =
-    # cold first stage. `stage_wall` is the measured wall of the last
-    # stage (dispatch through the first projection fetch): locking only
-    # pays when operator sweeps are expensive, so cheap-stage clips
-    # keep the plain joint warm start (see the widening block).
+    # cold first stage.
     Q = None
     B = None
     locked = None
-    stage_wall = 0.0
+    use_lock = n >= _LOCK_MIN_N
     while True:
         width = min(n, k + oversample)
         if width >= n:
@@ -564,15 +569,12 @@ def adaptive_topk_eigh(
             return w, jnp.asarray(V[:, :r]), r
 
         key, sub = jax.random.split(key)
-        t_stage = time.perf_counter()
         Q, B, all_ok, T = run_stage(sub, width, locked)
 
         rounds = 0
         while True:
             # ONE host sync resolves T and every validity flag so far
             T_host, ok_host = np.asarray(T), bool(np.asarray(all_ok))
-            if rounds == 0:
-                stage_wall = time.perf_counter() - t_stage
             if not ok_host:
                 key, sub = jax.random.split(key)
                 Q, B = _householder_iterate(
@@ -628,18 +630,16 @@ def adaptive_topk_eigh(
                 "flat for a low-rank clip; lower the target or use "
                 "spectrum='full'."
             )
-        # Widening warm-start flavour, chosen by the MEASURED stage
-        # wall. Ritz locking trades (a) extra acceptance rounds — the
-        # active block starts less converged than a jointly re-iterated
-        # one — against (b) sweeps at the active width instead of the
-        # full width. (b) only wins when a sweep is expensive (streamed
-        # kernel-recompute operators at large n: 1-2.6 s per sweep at
-        # 259k, where locking cut the repair 38-42 s -> 27 s); for
-        # cheap sweeps (16k stream: 0.03 s) the joint path's round-0
-        # acceptance wins (measured: 0.66 s joint vs 4-11 s locked).
+        # Widening warm-start flavour (see _LOCK_MIN_N). Ritz locking
+        # trades (a) extra acceptance rounds — the active block starts
+        # less converged than a jointly re-iterated one — against (b)
+        # sweeps at the active width instead of the full width. (b)
+        # only wins when a sweep is expensive (streamed operators at
+        # large n: locking cut the 259k repair 38-42 s -> 27-30 s);
+        # for cheap sweeps the joint path's round-0 acceptance wins.
         align = max(1, rank_multiple)
         scale = max(abs(float(w[0])), np.finfo(np.float32).tiny)
-        if stage_wall >= _LOCK_MIN_STAGE_S:
+        if use_lock:
             # lock the converged leading prefix (aligned DOWN so no
             # unconverged pair is ever frozen), carry the rest's
             # action as the re-iteration warm start. ~2 (n, w) matmuls
@@ -687,8 +687,8 @@ def adaptive_topk_eigh(
                 k_next = min(cap, max(k + step, min(p, 2 * k)))
         logger.info(
             "adaptive eigh: widening %d -> %d (doubling %d), locking "
-            "%d of %d computed pairs (stage wall %.2f s)",
-            k, k_next, min(cap, 2 * k), n_lock, len(w), stage_wall,
+            "%d of %d computed pairs",
+            k, k_next, min(cap, 2 * k), n_lock, len(w),
         )
         k = k_next
 

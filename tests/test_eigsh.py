@@ -352,7 +352,7 @@ def test_predicted_widening_saves_stages(rng):
     the SAME answer as the full-spectrum clip while never allocating a
     block much wider than the needed rank, and (with Ritz locking
     forced) in fewer operator column-sweeps than the doubling schedule.
-    Locking is forced via the stage-wall threshold: on a fast operator
+    Locking is forced via the size threshold: on a small problem
     the solver would (correctly) choose the joint warm start, which
     this test does not measure."""
     import glomargridding_tpu.ops.eigsh as eigsh_mod
@@ -375,8 +375,8 @@ def test_predicted_widening_saves_stages(rng):
         widths.append(X.shape[1] if X.ndim == 2 else 1)
         return A @ X
 
-    old_thresh = eigsh_mod._LOCK_MIN_STAGE_S
-    eigsh_mod._LOCK_MIN_STAGE_S = 0.0  # force the locked flavour
+    old_thresh = eigsh_mod._LOCK_MIN_N
+    eigsh_mod._LOCK_MIN_N = 0  # force the locked flavour
     try:
         psd = explained_variance_clip_lowrank(
             mv, n=n, trace=trace, target_variance_fraction=0.95,
@@ -387,7 +387,7 @@ def test_predicted_widening_saves_stages(rng):
             tol=1e-2,
         )
     finally:
-        eigsh_mod._LOCK_MIN_STAGE_S = old_thresh
+        eigsh_mod._LOCK_MIN_N = old_thresh
     # exact target rank for this spectrum
     csum = np.cumsum(np.linalg.eigh(A)[0][::-1])
     r_true = int(np.nonzero(csum > 0.95 * trace)[0][0]) + 1
@@ -440,8 +440,8 @@ def test_laloux_predicted_widening(rng):
 
     import glomargridding_tpu.ops.eigsh as eigsh_mod
 
-    old_thresh = eigsh_mod._LOCK_MIN_STAGE_S
-    eigsh_mod._LOCK_MIN_STAGE_S = 0.0  # force the locked flavour
+    old_thresh = eigsh_mod._LOCK_MIN_N
+    eigsh_mod._LOCK_MIN_N = 0  # force the locked flavour
     try:
         psd = laloux_clip_lowrank(
             mv, diag=np.diag(cov), n=n, num_time_pts=n,
@@ -449,7 +449,7 @@ def test_laloux_predicted_widening(rng):
             tol=1e-2,
         )
     finally:
-        eigsh_mod._LOCK_MIN_STAGE_S = old_thresh
+        eigsh_mod._LOCK_MIN_N = old_thresh
     part = np.asarray(psd.to_dense())
     err = np.linalg.norm(part - full) / np.linalg.norm(full)
     assert err < 5e-3, err
