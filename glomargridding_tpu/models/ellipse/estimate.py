@@ -808,11 +808,12 @@ class EllipseBuilder:
         `dispatch_chunks` runs that many consecutive chunks as ONE
         jitted ``lax.scan`` dispatch — the same per-chunk computation
         (results agree to float tolerance; XLA's scan scheduling can
-        shift an optimiser termination by an iteration), but the
-        per-dispatch RPC latency of a remote-tunnel
-        backend is paid once per group instead of once per chunk
-        (~40 s of the 96 s quarter-degree whole-grid stage at 254
-        chunks). Memory is unchanged: the (B, N) training temps are
+        shift an optimiser termination by an iteration), with the
+        per-dispatch overhead of a remote-tunnel backend paid once
+        per group. Driver-recorded at the 259k shape: 8 warm chunks
+        in 1.56 s grouped vs 1.75 s as single dispatches (~11% — the
+        single-chunk loop is already async-pipelined; the grouped
+        lane also cuts RPC count 8x). Memory is unchanged: the (B, N) training temps are
         scan-internal and reused across iterations. Use 4-16 for
         production whole-grid fits; 1 (default) keeps the single-chunk
         dispatch granularity.
