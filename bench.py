@@ -113,6 +113,53 @@ def bench_kriging():
     return timeit(run, checksum)
 
 
+def bench_kriging_quarter(n_lat=360, n_lon=720):
+    """Ordinary kriging at the 0.25-degree-class grid (n = 259,200).
+
+    Same public streamed path as the headline; 4x the output cells of
+    the 1-degree configuration, same 5k observation system. Pins that
+    the kernel-functional solver scales to quarter-degree output grids
+    (cov build + Cholesky + solve + uncertainty + constraint mask).
+    """
+    import jax.numpy as jnp
+
+    from glomargridding_tpu.models.kernel_kriging import (
+        kriging_from_kernel,
+        variogram_kernel,
+    )
+    from glomargridding_tpu.ops.variogram import MaternVariogram
+
+    lat = np.linspace(-89.75, 89.75, n_lat).astype(np.float32)
+    lon = np.linspace(-179.75, 179.75, n_lon).astype(np.float32)
+    glat = jnp.asarray(np.repeat(lat, n_lon))
+    glon = jnp.asarray(np.tile(lon, n_lat))
+    m = glat.shape[0]
+    rng = np.random.default_rng(0)
+    idx = jnp.asarray(
+        np.sort(rng.choice(m, N_OBS, replace=False)).astype(np.int32)
+    )
+    y = jnp.asarray(rng.normal(size=N_OBS).astype(np.float32))
+    err_cov = jnp.diag(
+        jnp.asarray((0.1 + 0.05 * rng.random(N_OBS)).astype(np.float32))
+    )
+    kernel = variogram_kernel(
+        MaternVariogram(psill=PSILL, range=RANGE_KM, nu=0.5),
+        distance="haversine",
+    )
+
+    def run():
+        return kriging_from_kernel(
+            kernel, glat, glon, idx, y,
+            error_cov=err_cov, variance=PSILL,
+            method="ordinary", n_blocks=64,
+        )
+
+    def checksum(res):
+        return float(res.field.sum()) + float(res.uncertainty.sum())
+
+    return {"n": int(m), "kriging_s": round(timeit(run, checksum), 3)}
+
+
 def bench_ensemble():
     """draws/sec through the public ensemble_from_kernel API."""
     import jax
@@ -614,6 +661,7 @@ def main():
     budget_s = float(os.environ.get("GLOMAR_BENCH_BUDGET_S", "900"))
     extras = {}
     for name, fn in (
+        ("kriging_259k", bench_kriging_quarter),
         ("nonstationary_65k_lowrank", bench_lowrank_65k),
         ("reference_configs_5deg", bench_reference_trio),
         ("stream_16k", bench_stream_clip),
