@@ -17,7 +17,9 @@ from .stochastic import (
     scipy_mv_normal_draw,
 )
 from .kernel_kriging import (
+    CrossValResult,
     ensemble_from_kernel,
+    kriging_crossval,
     kriging_from_kernel,
     months_scan_kriging,
     pad_month_observations,
@@ -32,6 +34,8 @@ from .lowrank import (
 )
 
 __all__ = [
+    "CrossValResult",
+    "kriging_crossval",
     "LowRankKrigingResult",
     "lowrank_ensemble_step",
     "lowrank_kriging",

@@ -186,3 +186,95 @@ def test_variogram_kernel_hashes_by_value():
     assert k1 != k3
     k4 = variogram_kernel(v1, distance="chordal")
     assert k1 != k4
+
+
+@pytest.mark.parametrize("method", ["ordinary", "simple"])
+def test_kriging_crossval_matches_bruteforce(rng, method):
+    """The one-factorisation LOO identity must equal literally refitting
+    with each observation removed."""
+    from glomargridding_tpu.models.kernel_kriging import kriging_crossval
+
+    glat, glon, idx, obs, err = _grid_problem(rng, n_obs=14)
+    vario = MaternVariogram(psill=1.2, nugget=0.0, range=2000.0, nu=1.5)
+    kernel = variogram_kernel(vario)
+
+    cv = kriging_crossval(
+        kernel, glat, glon, idx, obs, error_cov=err, method=method
+    )
+
+    # brute force: for each i, krige AT obs point i from the others
+    d = np.asarray(
+        haversine_matrix(glat[idx], glon[idx], glat[idx], glon[idx])
+    )
+    C = 1.2 - np.asarray(vario.fit(jnp.asarray(d)))
+    K = C + err
+    n = len(idx)
+    for i in range(n):
+        keep = np.arange(n) != i
+        Ki = K[np.ix_(keep, keep)]
+        ci = C[keep, i]
+        yi = obs[keep]
+        if method == "simple":
+            w = np.linalg.solve(Ki, ci)
+            pred = w @ yi
+            var = K[i, i] - w @ ci
+        else:
+            ones = np.ones(n - 1)
+            Kx = np.block(
+                [[Ki, ones[:, None]], [ones[None, :], np.zeros((1, 1))]]
+            )
+            w = np.linalg.solve(Kx, np.concatenate([ci, [1.0]]))
+            pred = w[:-1] @ yi
+            var = K[i, i] - w[:-1] @ ci - w[-1]
+        np.testing.assert_allclose(
+            float(cv.residuals[i]), obs[i] - pred, rtol=1e-5, atol=1e-7,
+            err_msg=f"residual {i}",
+        )
+        np.testing.assert_allclose(
+            float(cv.loo_variance[i]), var, rtol=1e-5, atol=1e-7,
+            err_msg=f"variance {i}",
+        )
+    np.testing.assert_allclose(
+        float(cv.rmse),
+        float(np.sqrt(np.mean(np.asarray(cv.residuals) ** 2))),
+        rtol=1e-6,
+    )
+
+
+def test_kriging_crossval_calibration(rng):
+    """Data drawn FROM the model scores mssr ~ 1; a too-small amplitude
+    model scores mssr >> 1 (underestimated uncertainty) — the model-
+    selection contract."""
+    from glomargridding_tpu.models.kernel_kriging import kriging_crossval
+
+    n_lat, n_lon = 10, 20
+    lat = np.arange(-81.0, 90, 180.0 / n_lat)
+    lon = np.arange(-171.0, 180, 360.0 / n_lon)
+    glat = np.repeat(lat, n_lon)
+    glon = np.tile(lon, n_lat)
+    vario = MaternVariogram(psill=1.0, nugget=0.0, range=2500.0, nu=0.5)
+    d = np.asarray(haversine_matrix(glat, glon))
+    C = 1.0 - np.asarray(vario.fit(jnp.asarray(d)))
+    m = C.shape[0]
+    z = np.linalg.cholesky(C + 1e-6 * np.eye(m)) @ rng.normal(size=m)
+    idx = np.sort(rng.choice(m, 60, replace=False))
+    noise = 0.05
+    y = z[idx] + np.sqrt(noise) * rng.normal(size=60)
+    E = np.full(60, noise)
+
+    kernel = variogram_kernel(vario)
+    cv = kriging_crossval(
+        kernel, glat, glon, idx, y, error_cov=E, method="ordinary"
+    )
+    assert 0.5 < float(cv.mssr) < 2.0, float(cv.mssr)
+
+    # same correlation shape, 10x too small amplitude -> badly
+    # calibrated (mssr inflated ~10x)
+    small = variogram_kernel(
+        MaternVariogram(psill=0.1, nugget=0.0, range=2500.0, nu=0.5)
+    )
+    cv_small = kriging_crossval(
+        kernel_fn=small, grid_lats=glat, grid_lons=glon, idx=idx,
+        obs=y, error_cov=E, method="ordinary",
+    )
+    assert float(cv_small.mssr) > 3.0 * float(cv.mssr)
