@@ -27,6 +27,7 @@ from .kernel_kriging import (
 )
 from .lowrank import (
     LowRankKrigingResult,
+    lowrank_crossval,
     lowrank_ensemble_step,
     lowrank_kriging,
     lowrank_members_from_states,
@@ -37,6 +38,7 @@ __all__ = [
     "CrossValResult",
     "kriging_crossval",
     "LowRankKrigingResult",
+    "lowrank_crossval",
     "lowrank_ensemble_step",
     "lowrank_kriging",
     "lowrank_members_from_states",

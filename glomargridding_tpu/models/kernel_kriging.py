@@ -445,14 +445,13 @@ class CrossValResult(NamedTuple):
     mssr: jax.Array            # scalar mean squared std residual (~1)
 
 
-@partial(jax.jit, static_argnames=("kernel_fn", "method"))
-def _loo_crossval_jit(kernel_fn, la, lo, idx, y, E, mean, method):
-    la_o = la[idx]
-    lo_o = lo[idx]
-    K = kernel_fn(la_o, lo_o, la_o, lo_o)
-    if E is not None:
-        K = K + (jnp.diag(E) if E.ndim == 1 else E)
-    n = idx.shape[0]
+def _loo_from_K(K, y, mean, method: str):
+    """Dubrule LOO identity off the dense (m, m) observation system.
+
+    Traceable core shared by the kernel path and the factored
+    (``models.lowrank``) path.
+    """
+    n = K.shape[0]
     if method == "ordinary":
         ones = jnp.ones((n, 1), K.dtype)
         Kx = jnp.block(
@@ -475,6 +474,16 @@ def _loo_crossval_jit(kernel_fn, la, lo, idx, y, E, mean, method):
     rmse = jnp.sqrt(jnp.mean(resid**2))
     mssr = jnp.mean(stdres**2)
     return resid, stdres, loo_var, rmse, mssr
+
+
+@partial(jax.jit, static_argnames=("kernel_fn", "method"))
+def _loo_crossval_jit(kernel_fn, la, lo, idx, y, E, mean, method):
+    la_o = la[idx]
+    lo_o = lo[idx]
+    K = kernel_fn(la_o, lo_o, la_o, lo_o)
+    if E is not None:
+        K = K + (jnp.diag(E) if E.ndim == 1 else E)
+    return _loo_from_K(K, y, mean, method)
 
 
 def kriging_crossval(

@@ -470,3 +470,47 @@ def test_woodbury_refinement_survives_ill_conditioning(rng):
     for flag in (True, False):
         err = np.abs(np.asarray(fields[flag]) - field64).max()
         assert err < 2e-2 * scale, (flag, err, scale)
+
+
+def test_lowrank_crossval_matches_bruteforce(rng):
+    """Factored-covariance LOO CV equals literal remove-one-and-refit
+    against the densified factors."""
+    import jax.numpy as jnp
+
+    from glomargridding_tpu.models.lowrank import lowrank_crossval
+    from glomargridding_tpu.ops.covariance_tools import LowRankPSD
+
+    n, r, m = 80, 12, 20
+    Q, _ = np.linalg.qr(rng.standard_normal((n, r)))
+    psd = LowRankPSD(
+        vectors=jnp.asarray(Q, jnp.float32),
+        gains=jnp.asarray(np.linspace(4.0, 1.0, r), jnp.float32),
+        floor=jnp.asarray(
+            rng.uniform(0.05, 0.2, n).astype(np.float32)
+        ),
+    )
+    idx = np.sort(rng.choice(n, m, replace=False))
+    y = rng.normal(size=m).astype(np.float32)
+    E = (0.1 + 0.05 * rng.random(m)).astype(np.float32)
+
+    cv = lowrank_crossval(psd, idx, y, E, method="ordinary")
+
+    C = np.asarray(psd.to_dense(), np.float64)[np.ix_(idx, idx)]
+    K = C + np.diag(E.astype(np.float64))
+    for i in range(m):
+        keep = np.arange(m) != i
+        Ki = K[np.ix_(keep, keep)]
+        ci = C[keep, i]
+        ones = np.ones(m - 1)
+        Kx = np.block(
+            [[Ki, ones[:, None]], [ones[None, :], np.zeros((1, 1))]]
+        )
+        w = np.linalg.solve(Kx, np.concatenate([ci, [1.0]]))
+        pred = w[:-1] @ y[keep]
+        var = K[i, i] - w[:-1] @ ci - w[-1]
+        np.testing.assert_allclose(
+            float(cv.residuals[i]), y[i] - pred, rtol=2e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            float(cv.loo_variance[i]), var, rtol=2e-4, atol=1e-5
+        )
