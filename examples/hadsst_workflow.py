@@ -210,7 +210,31 @@ def run(esa_lat_band=None, nm_tol=1e-3, chunk_size=2048):
     grid_obs = obs["tos"].to_numpy()
     t0 = stage(f"obs mapping ({len(grid_idx)} gridboxes)", t0)
 
-    # 6 -- kriging
+    # 6 -- model selection: leave-one-out CV scores BOTH candidate
+    # covariances on this month's observations from one factorisation
+    # each (models.crossval_from_covariance) — rmse ranks prediction
+    # accuracy, mssr ~ 1 means the uncertainty amplitude is calibrated
+    from glomargridding_tpu.models import crossval_from_covariance
+
+    cv_stat = crossval_from_covariance(
+        cov_stat, grid_idx, grid_obs, error_cov=error_cov
+    )
+    msg = (
+        f"    model scores (LOO CV): stationary rmse "
+        f"{float(cv_stat.rmse):.3f} mssr {float(cv_stat.mssr):.2f}"
+    )
+    if cov_non_stat is not None:
+        cv_ns = crossval_from_covariance(
+            cov_non_stat, grid_idx, grid_obs, error_cov=error_cov
+        )
+        msg += (
+            f" | non-stationary rmse {float(cv_ns.rmse):.3f} "
+            f"mssr {float(cv_ns.mssr):.2f}"
+        )
+    print(msg)
+    t0 = stage("leave-one-out model scores", t0)
+
+    # 7 -- kriging
     OK_stat = OrdinaryKriging(
         cov_stat, idx=grid_idx, obs=grid_obs, error_cov=error_cov
     )

@@ -18,6 +18,7 @@ from .stochastic import (
 )
 from .kernel_kriging import (
     CrossValResult,
+    crossval_from_covariance,
     ensemble_from_kernel,
     kriging_crossval,
     kriging_from_kernel,
@@ -36,6 +37,7 @@ from .lowrank import (
 
 __all__ = [
     "CrossValResult",
+    "crossval_from_covariance",
     "kriging_crossval",
     "LowRankKrigingResult",
     "lowrank_crossval",

@@ -533,3 +533,49 @@ def kriging_crossval(
         jnp.asarray(mean, la.dtype), method,
     )
     return CrossValResult(*out)
+
+
+@partial(jax.jit, static_argnames=("method",))
+def _loo_from_cov_jit(cov, idx, y, E, mean, method):
+    K = cov[idx[:, None], idx[None, :]]
+    if E is not None:
+        K = K + (jnp.diag(E) if E.ndim == 1 else E)
+    return _loo_from_K(K, y, mean, method)
+
+
+def crossval_from_covariance(
+    covariance,
+    idx,
+    obs,
+    error_cov=None,
+    mean: float = 0.0,
+    method: str = "ordinary",
+) -> CrossValResult:
+    """:func:`kriging_crossval` for a precomputed dense covariance.
+
+    Same Dubrule LOO identity, gathering the observation system from
+    the (n, n) matrix instead of a kernel — the variant for the dense
+    class workflow (``OrdinaryKriging``-style precomputed covariances,
+    e.g. a clipped non-stationary assembly): score candidate
+    covariance models on the month's observations before the grid
+    solve. `error_cov` may be obs-sized (m or m x m) or full-grid
+    (n or n x n — subset to `idx` like the ``Kriging`` classes do).
+    """
+    if method not in ("ordinary", "simple"):
+        raise ValueError(f"Unknown kriging method: {method}")
+    cov = jnp.asarray(covariance)
+    idx = jnp.asarray(idx)
+    y = jnp.asarray(obs, cov.dtype)
+    E = None if error_cov is None else jnp.asarray(error_cov, cov.dtype)
+    m = int(idx.shape[0])
+    if E is not None and E.shape[0] != m:
+        if E.shape[0] != cov.shape[0]:
+            raise ValueError(
+                f"error_cov dimension {E.shape[0]} matches neither the "
+                f"observation count {m} nor the grid size {cov.shape[0]}"
+            )
+        E = E[idx] if E.ndim == 1 else E[idx[:, None], idx[None, :]]
+    out = _loo_from_cov_jit(
+        cov, idx, y, E, jnp.asarray(mean, cov.dtype), method
+    )
+    return CrossValResult(*out)

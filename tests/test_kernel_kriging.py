@@ -278,3 +278,28 @@ def test_kriging_crossval_calibration(rng):
         obs=y, error_cov=E, method="ordinary",
     )
     assert float(cv_small.mssr) > 3.0 * float(cv.mssr)
+
+
+def test_crossval_from_covariance_matches_kernel(rng):
+    """Dense-covariance CV == kernel CV for the same model."""
+    from glomargridding_tpu.models.kernel_kriging import (
+        crossval_from_covariance,
+        kriging_crossval,
+    )
+
+    glat, glon, idx, obs, err = _grid_problem(rng, n_obs=18)
+    vario = MaternVariogram(psill=1.2, nugget=0.0, range=2000.0, nu=1.5)
+    kernel = variogram_kernel(vario)
+    cv_k = kriging_crossval(
+        kernel, glat, glon, idx, obs, error_cov=err
+    )
+    d = np.asarray(haversine_matrix(glat, glon))
+    cov = 1.2 - np.asarray(vario.fit(jnp.asarray(d)))
+    cv_d = crossval_from_covariance(cov, idx, obs, error_cov=err)
+    np.testing.assert_allclose(
+        np.asarray(cv_d.residuals), np.asarray(cv_k.residuals),
+        rtol=1e-5, atol=1e-7,
+    )
+    np.testing.assert_allclose(
+        float(cv_d.mssr), float(cv_k.mssr), rtol=1e-5
+    )
