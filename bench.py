@@ -113,13 +113,15 @@ def bench_kriging():
     return timeit(run, checksum)
 
 
-def bench_kriging_quarter(n_lat=360, n_lon=720):
-    """Ordinary kriging at the 0.25-degree-class grid (n = 259,200).
+def _kriging_at_grid(n_lat, n_lon, n_blocks, iters=None):
+    """Streamed ordinary kriging at an (n_lat, n_lon) global grid.
 
-    Same public streamed path as the headline; 4x the output cells of
-    the 1-degree configuration, same 5k observation system. Pins that
-    the kernel-functional solver scales to quarter-degree output grids
-    (cov build + Cholesky + solve + uncertainty + constraint mask).
+    Shared body for the 0.25-degree and 0.1-degree scale sections:
+    same public kernel-functional path as the headline (cov build +
+    Cholesky + solve + uncertainty + constraint mask), same 5k
+    observation system. ``iters=None`` uses the amortised ``timeit``
+    loop; an integer times that many back-to-back warm dispatches
+    (for configurations whose single run is already many seconds).
     """
     import jax.numpy as jnp
 
@@ -129,8 +131,14 @@ def bench_kriging_quarter(n_lat=360, n_lon=720):
     )
     from glomargridding_tpu.ops.variogram import MaternVariogram
 
-    lat = np.linspace(-89.75, 89.75, n_lat).astype(np.float32)
-    lon = np.linspace(-179.75, 179.75, n_lon).astype(np.float32)
+    half_dlat = 90.0 / n_lat
+    half_dlon = 180.0 / n_lon
+    lat = np.linspace(
+        -90 + half_dlat, 90 - half_dlat, n_lat
+    ).astype(np.float32)
+    lon = np.linspace(
+        -180 + half_dlon, 180 - half_dlon, n_lon
+    ).astype(np.float32)
     glat = jnp.asarray(np.repeat(lat, n_lon))
     glon = jnp.asarray(np.tile(lon, n_lat))
     m = glat.shape[0]
@@ -151,13 +159,46 @@ def bench_kriging_quarter(n_lat=360, n_lon=720):
         return kriging_from_kernel(
             kernel, glat, glon, idx, y,
             error_cov=err_cov, variance=PSILL,
-            method="ordinary", n_blocks=64,
+            method="ordinary", n_blocks=n_blocks,
         )
 
     def checksum(res):
         return float(res.field.sum()) + float(res.uncertainty.sum())
 
-    return {"n": int(m), "kriging_s": round(timeit(run, checksum), 3)}
+    if iters is None:
+        return {"n": int(m), "kriging_s": round(timeit(run, checksum), 3)}
+    checksum(run())  # compile (or persistent-cache load) + drain
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        res = run()
+    checksum(res)
+    return {
+        "n": int(m),
+        "kriging_s": round((time.perf_counter() - t0) / iters, 3),
+    }
+
+
+def bench_kriging_quarter():
+    """Ordinary kriging at the 0.25-degree-class grid (n = 259,200)."""
+    return _kriging_at_grid(360, 720, n_blocks=64)
+
+
+def bench_kriging_tenth():
+    """Ordinary kriging at the FULL 0.1-degree grid (n = 6,480,000).
+
+    One v5e chip, zero covariance storage: the dense covariance would
+    be 168 TB; C_cross alone streamed in 512 column blocks. The
+    measured wall (~15 s warm) sits at the honest-precision roofline —
+    diag(C' K^-1 C) costs one (5001 x 12.7k)-RHS triangular pass per
+    tile (m^2 n ~ 1.6e14 FLOPs; see docs/perf.md on TPU triangular
+    throughput). First-ever run pays a ~200 s XLA compile (persisted
+    by the compile cache).
+    """
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return {"skipped": f"backend={jax.default_backend()}"}
+    return _kriging_at_grid(1800, 3600, n_blocks=512, iters=1)
 
 
 def bench_ensemble():
@@ -666,6 +707,7 @@ def main():
         ("reference_configs_5deg", bench_reference_trio),
         ("stream_16k", bench_stream_clip),
         ("lazy_mle_259k", bench_lazy_mle),
+        ("kriging_6.5M_tenth_degree", bench_kriging_tenth),
     ):
         t0 = time.perf_counter()
         if t0 - t_start > budget_s:

@@ -11,15 +11,18 @@ sys.path.insert(
     0, os.path.join(os.path.dirname(__file__), "..", "examples")
 )
 
-NOTEBOOK_DATA = "/root/reference/notebooks"
-
+_DATA_CANDIDATES = (
+    os.path.join(os.path.dirname(__file__), "..", "examples", "data"),
+    "/root/reference/notebooks",
+)
 requires_notebook_data = pytest.mark.skipif(
-    not os.path.isfile(
-        os.path.join(
-            NOTEBOOK_DATA, "esa_cci_sst_5deg_monthly_1982-2022_03.nc"
+    not any(
+        os.path.isfile(
+            os.path.join(d, "esa_cci_sst_5deg_monthly_1982-2022_03.nc")
         )
+        for d in _DATA_CANDIDATES
     ),
-    reason="reference notebook data not available",
+    reason="workflow data not available (examples/data)",
 )
 
 
