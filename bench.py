@@ -184,21 +184,65 @@ def bench_kriging_quarter():
 
 
 def bench_kriging_tenth():
-    """Ordinary kriging at the FULL 0.1-degree grid (n = 6,480,000).
+    """Ordinary kriging + ensemble at the FULL 0.1-degree grid
+    (n = 6,480,000).
 
     One v5e chip, zero covariance storage: the dense covariance would
-    be 168 TB; C_cross alone streamed in 512 column blocks. The
-    measured wall (~15 s warm) sits at the honest-precision roofline —
+    be 168 TB; C_cross alone streamed in column blocks. The kriging
+    wall (~15 s warm) sits at the honest-precision roofline —
     diag(C' K^-1 C) costs one (5001 x 12.7k)-RHS triangular pass per
     tile (m^2 n ~ 1.6e14 FLOPs; see docs/perf.md on TPU triangular
-    throughput). First-ever run pays a ~200 s XLA compile (persisted
+    throughput). The 100-member obs-perturbation ensemble (field +
+    648M member values) is faster than the diagnostics run: solving
+    once against the (n, members) RHS leaves every streamed tile pure
+    MXU matmuls. First-ever run pays ~200 s of XLA compiles (persisted
     by the compile cache).
     """
     import jax
 
     if jax.default_backend() != "tpu":
         return {"skipped": f"backend={jax.default_backend()}"}
-    return _kriging_at_grid(1800, 3600, n_blocks=512, iters=1)
+    out = _kriging_at_grid(1800, 3600, n_blocks=512, iters=1)
+
+    import jax.numpy as jnp
+
+    from glomargridding_tpu.models.kernel_kriging import (
+        ensemble_from_kernel,
+        variogram_kernel,
+    )
+    from glomargridding_tpu.ops.variogram import MaternVariogram
+
+    n_lat, n_lon = 1800, 3600
+    lat = np.linspace(-89.95, 89.95, n_lat).astype(np.float32)
+    lon = np.linspace(-179.95, 179.95, n_lon).astype(np.float32)
+    glat = jnp.asarray(np.repeat(lat, n_lon))
+    glon = jnp.asarray(np.tile(lon, n_lat))
+    m = glat.shape[0]
+    rng = np.random.default_rng(0)
+    idx = jnp.asarray(
+        np.sort(rng.choice(m, N_OBS, replace=False)).astype(np.int32)
+    )
+    y = jnp.asarray(rng.normal(size=N_OBS).astype(np.float32))
+    err = jnp.diag(
+        jnp.asarray((0.1 + 0.05 * rng.random(N_OBS)).astype(np.float32))
+    )
+    kernel = variogram_kernel(
+        MaternVariogram(psill=PSILL, range=RANGE_KM, nu=0.5),
+        distance="haversine",
+    )
+
+    def run_ens():
+        f, mem = ensemble_from_kernel(
+            kernel, glat, glon, idx, y, err, jax.random.key(0),
+            n_members=N_MEMBERS, n_blocks=1024,
+        )
+        return float(f.sum()) + float(mem[-1].sum())
+
+    run_ens()  # compile (or cache load) + drain
+    t0 = time.perf_counter()
+    run_ens()
+    out["ensemble_100_s"] = round(time.perf_counter() - t0, 3)
+    return out
 
 
 def bench_ensemble():

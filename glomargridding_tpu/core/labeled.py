@@ -204,7 +204,9 @@ class Dataset:
     def items(self):
         return self._variables.items()
 
+    @property
     def data_vars(self):
+        # property, as in xarray.Dataset.data_vars
         return self._variables
 
     def __repr__(self) -> str:

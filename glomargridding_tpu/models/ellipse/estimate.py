@@ -311,6 +311,70 @@ def _group_fit_fn(fun, residuals_fun, lane, tol, geo_cfg):
     return run
 
 
+# Per-chunk Fisher-information standard errors, as a SEPARATE jitted
+# program from the fit: fusing the vmapped Hessian into the fit scan
+# took the remote XLA compile of the production-shape program past
+# 9 minutes AND recompiled the whole fit whenever SE was toggled;
+# standalone, the fit program stays byte-identical (compile-cache hit)
+# and the SE program — chunk-data rebuild + d^2-gradient pass, no
+# optimiser while_loop — compiles on its own. Cached per (objective,
+# geometry config) like the fit.
+_CHUNK_SE_CACHE: dict = {}
+
+
+def _chunk_se_fn(fun, geo_cfg):
+    key = (fun, geo_cfg)
+    cached = _CHUNK_SE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    (
+        min_distance,
+        max_distance,
+        anisotropic,
+        delta_x_method,
+        physical_distance,
+        physical_distance_selection,
+        max_train_cols,
+        lazy_cor,
+    ) = geo_cfg
+
+    def _lane_se(x, X_i, y_i, w_i):
+        """sqrt(diag(H^{-1})) at one lane's optimum.
+
+        H is the autodiff Hessian of the SAME weighted Fisher-z
+        objective the fit minimised — available because K_nu is
+        differentiable JAX (the reference raises NotImplementedError
+        for Hessian SEs, ``model.py:539-544``). Non-positive-curvature
+        directions (bound-pinned or failed lanes) yield NaN.
+        """
+        H = jax.hessian(lambda p: fun(p, X_i, y_i, w_i))(x)
+        cov = jnp.linalg.inv(H)
+        dg = jnp.diagonal(cov)
+        return jnp.sqrt(jnp.where(dg > 0, dg, jnp.nan))
+
+    @jax.jit
+    def run(lats_all, lons_all, cor, sel_row, xs):
+        X, y, w = _chunk_train_data(
+            lats_all,
+            lons_all,
+            cor,
+            sel_row,
+            min_distance=min_distance,
+            max_distance=max_distance,
+            anisotropic=anisotropic,
+            delta_x_method=delta_x_method,
+            physical_distance=physical_distance,
+            physical_distance_selection=physical_distance_selection,
+            max_train_cols=max_train_cols,
+            fisher_z=True,
+            lazy_cor=lazy_cor,
+        )
+        return jax.vmap(_lane_se)(xs, X, y, w)
+
+    _CHUNK_SE_CACHE[key] = run
+    return run
+
+
 @jax.jit
 def _lazy_cor_row(xn, i):
     """One correlation row from the normalised samples, exact unit
@@ -760,11 +824,20 @@ class EllipseBuilder:
         bound / 2 upper bound / 3 multiple bounds / 9 no convergence or
         no training data).
 
-        `estimate_SE` / `n_jobs` / `n_sim` are accepted for signature
-        parity but ignored here: the reference's whole-grid loop also
-        discards any per-point standard errors (only ModelParams are
-        scattered into the output fields); use ``fit_ellipse_model`` for
-        a single point's bootstrap SE.
+        `estimate_SE="hessian"` adds Fisher-information standard-error
+        fields (``Lx_se``/``Ly_se``/``theta_se``/``R_se``) to the
+        returned Dataset: each converged lane's autodiff Hessian of the
+        same weighted objective, inverted on device. The SE pass runs
+        as its own jitted per-chunk program AFTER the fit (the fit
+        program stays byte-identical, so its compile cache still hits;
+        fusing the Hessian into the fit scan pushed the
+        production-shape remote compile past 9 minutes). The
+        reference cannot produce these at all (its whole-grid loop
+        discards SEs, and its single-point Hessian raises
+        ``NotImplementedError``). Bound-pinned or failed lanes get NaN.
+        The bootstrap values of `estimate_SE` (and `n_jobs`/`n_sim`)
+        are accepted for signature parity but ignored here — use
+        ``fit_ellipse_model`` for a single point's bootstrap SE.
 
         `opt_method` "Nelder-Mead" (default, reference parity), "lm"
         (Levenberg-Marquardt on the exact Fisher-z least-squares form
@@ -1068,6 +1141,47 @@ class EllipseBuilder:
         gi = np.asarray(self.xi_masked)[:n_points][has_data]
         for k, name in enumerate(names):
             params[name].values[gj, gi] = vals[has_data, k]
+
+        if estimate_SE == "hessian":
+            # second pass: one jitted (chunk rebuild + vmapped autodiff
+            # Hessian) dispatch per chunk, at the RAW optima (before the
+            # Lx>=Ly canonicalisation) so the curvature matches the
+            # objective actually minimised; SEs then swap with the axes
+            se_fn = _chunk_se_fn(fun, geo_cfg)
+            fitted_dev = jnp.asarray(fitted, lats_all_dev.dtype)
+            se_pending = []
+            for start in range(0, n_points, chunk_size):
+                sel, n_keep = _sel_row(start)
+                xs_chunk = fitted_dev[jnp.asarray(sel)]
+                se_pending.append(
+                    (
+                        se_fn(
+                            lats_all_dev, lons_all_dev, cor_dev,
+                            jnp.asarray(sel), xs_chunk,
+                        ),
+                        n_keep,
+                    )
+                )
+            ses = np.concatenate(
+                [np.asarray(s)[:k] for s, k in se_pending], axis=0
+            ).astype(float)
+            # axis-swapped lanes swap their SEs with them
+            if matern_ellipse.anisotropic:
+                ses[swap, 0], ses[swap, 1] = (
+                    ses[swap, 1].copy(), ses[swap, 0].copy()
+                )
+            ses[score == 9] = np.nan  # failed fits carry no information
+            grid_shape = params[names[0]].values.shape
+            for k in range(n_model):
+                se_name = f"{names[k]}_se"
+                field = np.full(grid_shape, np.nan, dtype=float)
+                field[gj, gi] = ses[has_data, k]
+                params[se_name] = DataArray(
+                    field,
+                    params[names[0]].coords,
+                    name=se_name,
+                    attrs={"units": param_names[names[k]]},
+                )
 
         return params
 

@@ -1123,3 +1123,73 @@ def test_compute_params_dispatch_chunks_match(rng):
         )
         <= 2
     ).all()
+
+
+def test_compute_params_hessian_se(rng):
+    """estimate_SE='hessian' adds whole-grid Fisher-information SE
+    fields, matching the single-point autodiff Hessian SE (the
+    reference raises NotImplementedError for Hessian SEs and its
+    whole-grid loop discards SEs entirely)."""
+    builder, lats, lons = _synthetic_builder(rng, size=(6, 8), n=2000)
+    model = EllipseModel(
+        anisotropic=True, rotated=True, physical_distance=True,
+        v=0.5, unit_sigma=True,
+    )
+    kwargs = dict(
+        default_value=[-999.0] * model.supercategory_n_params,
+        matern_ellipse=model,
+        max_distance=8000.0,
+        guesses=[500.0, 500.0, 0.0],
+        bounds=[(100.0, 20000.0), (100.0, 20000.0),
+                (-2 * np.pi, 2 * np.pi)],
+        delta_x_method="Modified_Met_Office",
+        tol=1e-5,
+    )
+    p0 = builder.compute_params(**kwargs)
+    assert "Lx_se" not in p0.data_vars  # opt-in only
+
+    p = builder.compute_params(estimate_SE="hessian", **kwargs)
+    for name in ("Lx_se", "Ly_se", "theta_se"):
+        assert name in p.data_vars
+
+    qc = p["qc_code"].values
+    fitted = p["Lx"].values > 0
+    interior = fitted & (qc == 0)
+    assert interior.sum() > 10
+    lx_se = p["Lx_se"].values
+    assert np.isfinite(lx_se[interior]).all()
+    assert (lx_se[interior] > 0).all()
+    # informative data: SEs are the same order as the estimates, not
+    # degenerate (tiny fixture grid -> wide but finite intervals)
+    rel = lx_se[interior] / p["Lx"].values[interior]
+    assert np.median(rel) < 1.0
+
+    # parity with the single-point Hessian SE at one interior point
+    interior_pts = interior[
+        np.asarray(builder.yi_masked), np.asarray(builder.xi_masked)
+    ]
+    pt = int(np.flatnonzero(interior_pts)[0])
+    single = builder.fit_ellipse_model(
+        pt, model,
+        max_distance=8000.0,
+        guesses=[500.0, 500.0, 0.0],
+        bounds=[(100.0, 20000.0), (100.0, 20000.0),
+                (-2 * np.pi, 2 * np.pi)],
+        delta_x_method="Modified_Met_Office",
+        tol=1e-5,
+        estimate_SE="hessian",
+    )
+    se_single = np.asarray(single["StandardError"]).copy()
+    raw_x = np.asarray(single["Results"].x)
+    if raw_x[1] > raw_x[0]:
+        # the single-point API canonicalises Lx >= Ly in ModelParams but
+        # reports SE at the raw optimum; the whole-grid fields swap SEs
+        # together with the axes
+        se_single[[0, 1]] = se_single[[1, 0]]
+    gj = np.asarray(builder.yi_masked)[pt]
+    gi = np.asarray(builder.xi_masked)[pt]
+    se_grid = np.array(
+        [p["Lx_se"].values[gj, gi], p["Ly_se"].values[gj, gi],
+         p["theta_se"].values[gj, gi]]
+    )
+    np.testing.assert_allclose(se_grid, se_single, rtol=0.1)
