@@ -26,6 +26,8 @@ from warnings import warn
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import shard_map
+from jax.sharding import PartitionSpec
 
 from ...constants import RADIUS_OF_EARTH_KM
 from ...core.labeled import Coordinates, DataArray, Dataset
@@ -248,8 +250,8 @@ def _chunk_train_data(
 _GROUP_FIT_CACHE: dict = {}
 
 
-def _group_fit_fn(fun, residuals_fun, lane, tol, geo_cfg):
-    key = (fun, residuals_fun, lane, tol, geo_cfg)
+def _group_fit_fn(fun, residuals_fun, lane, tol, geo_cfg, mesh_info=None):
+    key = (fun, residuals_fun, lane, tol, geo_cfg, mesh_info)
     cached = _GROUP_FIT_CACHE.get(key)
     if cached is not None:
         return cached
@@ -264,7 +266,6 @@ def _group_fit_fn(fun, residuals_fun, lane, tol, geo_cfg):
         lazy_cor,
     ) = geo_cfg
 
-    @jax.jit
     def run(lats_all, lons_all, cor, sel_mat, x0_single, lo, hi):
         def body(_, sel_row):
             X, y, w = _chunk_train_data(
@@ -307,8 +308,35 @@ def _group_fit_fn(fun, residuals_fun, lane, tol, geo_cfg):
         _, outs = jax.lax.scan(body, None, sel_mat)
         return outs
 
-    _GROUP_FIT_CACHE[key] = run
-    return run
+    if mesh_info is None:
+        compiled = jax.jit(run)
+    else:
+        # Multi-chip whole-grid fit: every lane (grid point) is
+        # independent, so sharding the (G, B) centre-index matrix along
+        # its LANE axis splits each chunk's fits across the mesh with
+        # ZERO collectives — each device rebuilds only its own lanes'
+        # (B/n_dev, N) training rows against the replicated training
+        # cube and runs the batched optimiser on them. Linear scaling
+        # in device count; per-device fit temps shrink by n_dev.
+        mesh, axis = mesh_info
+        lane_spec = PartitionSpec(None, axis)
+        rep = PartitionSpec()
+        compiled = jax.jit(
+            shard_map(
+                run,
+                mesh=mesh,
+                in_specs=(rep, rep, rep, lane_spec, rep, rep, rep),
+                out_specs=(lane_spec, lane_spec, lane_spec, lane_spec),
+                # the optimiser while_loop carries start replicated
+                # (broadcast x0) and become device-varying once the
+                # sharded lanes' training data enters — that is the
+                # point; there are no collectives for the checker to
+                # protect
+                check_vma=False,
+            )
+        )
+    _GROUP_FIT_CACHE[key] = compiled
+    return compiled
 
 
 # Per-chunk Fisher-information standard errors, as a SEPARATE jitted
@@ -322,8 +350,8 @@ def _group_fit_fn(fun, residuals_fun, lane, tol, geo_cfg):
 _CHUNK_SE_CACHE: dict = {}
 
 
-def _chunk_se_fn(fun, geo_cfg):
-    key = (fun, geo_cfg)
+def _chunk_se_fn(fun, geo_cfg, mesh_info=None):
+    key = (fun, geo_cfg, mesh_info)
     cached = _CHUNK_SE_CACHE.get(key)
     if cached is not None:
         return cached
@@ -352,7 +380,6 @@ def _chunk_se_fn(fun, geo_cfg):
         dg = jnp.diagonal(cov)
         return jnp.sqrt(jnp.where(dg > 0, dg, jnp.nan))
 
-    @jax.jit
     def run(lats_all, lons_all, cor, sel_row, xs):
         X, y, w = _chunk_train_data(
             lats_all,
@@ -371,8 +398,25 @@ def _chunk_se_fn(fun, geo_cfg):
         )
         return jax.vmap(_lane_se)(xs, X, y, w)
 
-    _CHUNK_SE_CACHE[key] = run
-    return run
+    if mesh_info is None:
+        compiled = jax.jit(run)
+    else:
+        # same lane-axis split as the sharded fit: each device runs the
+        # Hessian pass only for its own lanes
+        mesh, axis = mesh_info
+        lane_spec = PartitionSpec(axis)
+        rep = PartitionSpec()
+        compiled = jax.jit(
+            shard_map(
+                run,
+                mesh=mesh,
+                in_specs=(rep, rep, rep, lane_spec, lane_spec),
+                out_specs=lane_spec,
+                check_vma=False,
+            )
+        )
+    _CHUNK_SE_CACHE[key] = compiled
+    return compiled
 
 
 @jax.jit
@@ -814,6 +858,8 @@ class EllipseBuilder:
         checkpoint: str | None = None,
         checkpoint_every: int = 8,
         dispatch_chunks: int = 1,
+        mesh=None,
+        mesh_axis: str = "grid",
     ) -> Dataset:
         """Fit ellipses at ALL unmasked grid points — batched on device.
 
@@ -890,6 +936,20 @@ class EllipseBuilder:
         scan-internal and reused across iterations. Use 4-16 for
         production whole-grid fits; 1 (default) keeps the single-chunk
         dispatch granularity.
+
+        `mesh` (a ``jax.sharding.Mesh``) runs the fit MULTI-CHIP: the
+        chunk's lane axis is ``shard_map``-split over ``mesh_axis``, so
+        each device rebuilds training rows and runs the batched
+        optimiser only for its own ``chunk_size / n_dev`` grid points —
+        the fits are independent, so there are no collectives at all
+        and wall-time scales linearly in device count (the training
+        cube/correlation is replicated per device; per-device (B, N)
+        fit temps shrink by n_dev, so `chunk_size` may be raised by
+        the same factor). This is the 0.1-degree path: ~hours of
+        single-chip whole-grid MLE becomes minutes on a pod slice.
+        `chunk_size` is rounded down to a multiple of the axis size.
+        Sharded-vs-single-program parity is pinned on the 8-device CPU
+        mesh (`tests/test_parallel.py`).
         """
         if opt_method not in (
             "Nelder-Mead",
@@ -923,8 +983,11 @@ class EllipseBuilder:
         # packed top-k payload — ~32 B bytes per (B, N) pair at f32.
         # Cap B so those temps stay under ~10 GB of HBM: at the 259k
         # half-degree (259k) grid, B = 2048 peaks at 15.8 GB (OOM on
-        # a 16 GB v5e) while B = 1024 fits with headroom.
-        cap = max(256, int(10e9 / (32 * n_points)))
+        # a 16 GB v5e) while B = 1024 fits with headroom. Under a mesh
+        # the lane axis is split n_dev ways, so the PER-DEVICE temp is
+        # (B/n_dev, N) and the cap scales up by n_dev.
+        n_dev = 1 if mesh is None else int(mesh.shape[mesh_axis])
+        cap = max(256, int(10e9 * n_dev / (32 * n_points)))
         if chunk_size > cap:
             cap -= cap % 256
             warn(
@@ -932,6 +995,15 @@ class EllipseBuilder:
                 f"at N={n_points} would exceed device memory"
             )
             chunk_size = cap
+        if mesh is not None:
+            rounded = max(n_dev, chunk_size - chunk_size % n_dev)
+            if rounded != chunk_size:
+                warn(
+                    f"chunk_size {chunk_size} -> {rounded}: the sharded "
+                    f"fit needs a multiple of the {mesh_axis!r} axis "
+                    f"size {n_dev}"
+                )
+                chunk_size = rounded
 
         x0_single, (lo, hi), bounds_out = matern_ellipse._fit_setup(
             guesses, bounds
@@ -1044,9 +1116,10 @@ class EllipseBuilder:
             max_train_cols,
             lazy,
         )
+        mesh_info = None if mesh is None else (mesh, mesh_axis)
         group_fit = _group_fit_fn(
             fun, matern_ellipse._residuals_fit_z, lane, float(tol),
-            geo_cfg,
+            geo_cfg, mesh_info,
         )
         group = max(1, int(dispatch_chunks))
         starts = list(range(n_done, n_points, chunk_size))
@@ -1147,7 +1220,7 @@ class EllipseBuilder:
             # Hessian) dispatch per chunk, at the RAW optima (before the
             # Lx>=Ly canonicalisation) so the curvature matches the
             # objective actually minimised; SEs then swap with the axes
-            se_fn = _chunk_se_fn(fun, geo_cfg)
+            se_fn = _chunk_se_fn(fun, geo_cfg, mesh_info)
             fitted_dev = jnp.asarray(fitted, lats_all_dev.dtype)
             se_pending = []
             for start in range(0, n_points, chunk_size):

@@ -547,3 +547,71 @@ def test_sharded_stream_clip_matches_dense_clip():
     np.testing.assert_allclose(
         float(psd.trace()), float(np.trace(dense)), rtol=1e-5
     )
+
+
+def test_sharded_compute_params_matches_single(rng):
+    """compute_params(mesh=...) — the multi-chip whole-grid MLE — must
+    reproduce the single-program fit: the lane axis is shard_map-split
+    over the mesh, each device fitting only its own grid points (no
+    collectives). Converged lanes are frozen inside the batched NM, so
+    splitting the batch does not move any lane's optimum; only the
+    shared iteration counter may differ per shard."""
+    from test_ellipse import _synthetic_builder
+
+    from glomargridding_tpu.models.ellipse import EllipseModel
+
+    builder, lats, lons = _synthetic_builder(rng, size=(8, 10), n=1500)
+    iso = EllipseModel(
+        anisotropic=False, rotated=False, physical_distance=True,
+        v=0.5, unit_sigma=True,
+    )
+    kwargs = dict(
+        default_value=[-999.0] * iso.supercategory_n_params,
+        matern_ellipse=iso,
+        bounds=[(100.0, 20000.0)],
+        guesses=[500.0],
+        max_distance=8000.0,
+        delta_x_method="Modified_Met_Office",
+        chunk_size=16,  # 80 points -> 5 chunks, 2 lanes per device
+        estimate_SE="hessian",
+    )
+    p1 = builder.compute_params(**kwargs)
+    mesh = make_mesh(n_grid=8, n_ens=1)
+    p2 = builder.compute_params(mesh=mesh, **kwargs)
+
+    np.testing.assert_array_equal(
+        p1["qc_code"].values, p2["qc_code"].values
+    )
+    np.testing.assert_allclose(
+        p2["R"].values, p1["R"].values, rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        p2["R_se"].values, p1["R_se"].values, rtol=1e-5, atol=1e-8
+    )
+
+
+def test_sharded_compute_params_rounds_chunk(rng):
+    """A chunk_size not divisible by the mesh axis is rounded down (with
+    a warning) instead of failing inside shard_map."""
+    from test_ellipse import _synthetic_builder
+
+    from glomargridding_tpu.models.ellipse import EllipseModel
+
+    builder, _, _ = _synthetic_builder(rng, size=(4, 6), n=600)
+    iso = EllipseModel(
+        anisotropic=False, rotated=False, physical_distance=True,
+        v=0.5, unit_sigma=True,
+    )
+    mesh = make_mesh(n_grid=8, n_ens=1)
+    with pytest.warns(UserWarning, match="sharded"):
+        params = builder.compute_params(
+            default_value=[-999.0] * iso.supercategory_n_params,
+            matern_ellipse=iso,
+            bounds=[(100.0, 20000.0)],
+            guesses=[500.0],
+            max_distance=8000.0,
+            delta_x_method="Modified_Met_Office",
+            chunk_size=12,  # -> 8
+            mesh=mesh,
+        )
+    assert np.isfinite(params["R"].values).any()
