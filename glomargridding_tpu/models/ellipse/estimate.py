@@ -39,6 +39,7 @@ from ...ops.optim import (
 )
 from ...types import DeltaXMethod
 from ...utils.arrays import cov_2_cor, uncompress_masked
+from ...utils.cache import BoundedCache
 from .model import ARCTANH_THRESHOLD, EllipseModel
 
 logger = logging.getLogger(__name__)
@@ -247,7 +248,8 @@ def _chunk_train_data(
 # (objective fn, optimiser lane, tolerance, geometry config): the
 # objective is a bound method of the model instance, which hashes
 # stably, so repeated monthly runs reuse one compiled program.
-_GROUP_FIT_CACHE: dict = {}
+# bounded: keys pin EllipseModel instances + compiled programs
+_GROUP_FIT_CACHE = BoundedCache(16)
 
 
 def _group_fit_fn(fun, residuals_fun, lane, tol, geo_cfg, mesh_info=None):
@@ -347,7 +349,7 @@ def _group_fit_fn(fun, residuals_fun, lane, tol, geo_cfg, mesh_info=None):
 # and the SE program — chunk-data rebuild + d^2-gradient pass, no
 # optimiser while_loop — compiles on its own. Cached per (objective,
 # geometry config) like the fit.
-_CHUNK_SE_CACHE: dict = {}
+_CHUNK_SE_CACHE = BoundedCache(16)
 
 
 def _chunk_se_fn(fun, geo_cfg, mesh_info=None):
@@ -626,7 +628,10 @@ class EllipseBuilder:
             self.cor_mode == "auto" and self.small_covar_size > 100_000
         )
         if rounding is not None:
-            if lazy and self.cor_mode == "lazy":
+            if lazy:
+                # covers cor_mode="auto" past the size threshold too —
+                # falling through would attempt the dense (n, n)
+                # materialisation this mode exists to avoid
                 raise ValueError(
                     "rounding requires the dense correlation "
                     "(cor_mode='dense')"
@@ -1026,10 +1031,18 @@ class EllipseBuilder:
         # Host-side accumulators hold FETCHED results for [0, n_done);
         # `pending` holds device results not yet flushed. The fingerprint
         # pins every input that changes the per-point answer or the
-        # chunk alignment.
+        # chunk alignment — including a checksum of the TRAINING DATA
+        # itself (two device reductions, one scalar fetch each, rounded
+        # so reduction-order jitter can't refuse a legitimate resume):
+        # without it, a checkpoint written against a different training
+        # cube would silently return the old cube's fits.
+        xc = self._x_centered
+        data_sum = float(f"{float(jnp.sum(xc)):.6e}")
+        data_sumsq = float(f"{float(jnp.sum(xc * xc)):.6e}")
         fingerprint = json.dumps(
             {
                 "n_points": n_points,
+                "data": [int(xc.shape[0]), data_sum, data_sumsq],
                 "model": matern_ellipse.model_type,
                 "opt": opt_method,
                 "chunk": chunk_size,
@@ -1095,13 +1108,23 @@ class EllipseBuilder:
                 )
                 os.replace(tmp, checkpoint)
 
+        # every dispatched row shares ONE static length: chunk_size when
+        # the grid spans several chunks, else the single short chunk —
+        # rounded UP to the mesh axis so the sharded fit can split a
+        # sub-chunk-size grid (n_dev = 1 single-chip: unchanged)
+        row_len = (
+            chunk_size
+            if n_points > chunk_size
+            else -(-n_points // n_dev) * n_dev
+        )
+
         def _sel_row(start):
-            """(chunk_size,) padded centre indices + kept count."""
+            """(row_len,) padded centre indices + kept count."""
             stop = min(start + chunk_size, n_points)
             sel = np.arange(start, stop)
-            if stop - start < chunk_size and n_points > chunk_size:
+            if stop - start < row_len:
                 sel = np.concatenate(
-                    [sel, np.full(chunk_size - (stop - start), start)]
+                    [sel, np.full(row_len - (stop - start), start)]
                 )
             return sel, stop - start
 

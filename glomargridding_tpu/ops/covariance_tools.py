@@ -628,11 +628,17 @@ def explained_variance_clip(
                 target_variance_fraction=target_variance_fraction,
                 **partial_kwargs,
             )
-            if callable(cov) or n > _DENSIFY_GUARD:
-                logger.info(
-                    "returning factored LowRankPSD (callable or "
-                    "n > %d): densify explicitly with .to_dense()",
-                    _DENSIFY_GUARD,
+            if callable(cov):
+                return lr
+            if n > _DENSIFY_GUARD:
+                # LOUD: the caller handed us a dense matrix and gets a
+                # different type back — a log line is too easy to miss
+                warn(
+                    f"explained_variance_clip: n={n} > "
+                    f"{_DENSIFY_GUARD} returns the factored LowRankPSD "
+                    "(densifying would allocate the n^2 array the "
+                    "partial path avoids); call .to_dense() explicitly "
+                    "or use explained_variance_clip_lowrank"
                 )
                 return lr
             return lr.to_dense()
@@ -683,11 +689,15 @@ def laloux_clip(
                 num_time_pts=num_time_pts,
                 **partial_kwargs,
             )
-            if callable(cov) or n > _DENSIFY_GUARD:
-                logger.info(
-                    "returning factored LowRankPSD (callable or "
-                    "n > %d): densify explicitly with .to_dense()",
-                    _DENSIFY_GUARD,
+            if callable(cov):
+                return lr
+            if n > _DENSIFY_GUARD:
+                warn(
+                    f"laloux_clip: n={n} > {_DENSIFY_GUARD} returns "
+                    "the factored LowRankPSD (densifying would "
+                    "allocate the n^2 array the partial path avoids); "
+                    "call .to_dense() explicitly or use "
+                    "laloux_clip_lowrank"
                 )
                 return lr
             return lr.to_dense()

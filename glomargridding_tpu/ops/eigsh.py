@@ -655,8 +655,24 @@ def adaptive_topk_eigh(
             locked = (QU[:, :n_lock], BU[:, :n_lock], BU[:, n_lock:])
         else:
             # joint re-iteration: carry the whole block's action, lock
-            # nothing (round-3 behaviour; no rotation, no U upload)
-            n_conv = len(w)
+            # nothing (round-3 behaviour; no rotation, no U upload).
+            # The predict hook still needs the MEASURED-converged
+            # prefix — feeding it the full unconverged head is exactly
+            # the biased-extrapolation failure documented below — so
+            # when a prediction is wanted, pay the two (n, w) residual
+            # matmuls (pure MXU, no operator sweep) to find it.
+            if predict is not None:
+                _, _, rn = _rotate_ritz(
+                    Q, B,
+                    jnp.asarray(U[:, order.copy()]),
+                    jnp.asarray(w, Q.dtype),
+                )
+                conv = np.asarray(rn) / scale <= tol
+                n_conv = (
+                    int(np.argmin(conv)) if not conv.all() else len(conv)
+                )
+            else:
+                n_conv = len(w)
             n_lock = 0
             locked = (Q[:, :0], B[:, :0], B)
 

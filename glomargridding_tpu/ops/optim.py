@@ -460,9 +460,13 @@ def batched_levenberg_marquardt(
     Levenberg damping uses Fletcher's diagonal scaling
     ``(J'J + lam * diag(J'J)) delta = -J'r`` so the step is invariant
     to parameter scaling (km-scale ranges vs radian-scale angles in one
-    solve). Lanes converge when an accepted step improves the SSE by
-    < ftol relatively or moves < xtol relatively, or when damping
-    saturates (no descent direction left).
+    solve). Lanes converge successfully when an accepted step improves
+    the SSE by < ftol relatively or moves < xtol relatively, or when
+    damping saturates while the proposed step is already negligible
+    (a lane that started at its optimum). Damping saturation with a
+    non-trivial rejected step (NaN objective, no descent direction)
+    stops the lane with ``success=False`` — those fits get qc_code 9,
+    matching the Nelder-Mead lane.
     """
     x0 = jnp.asarray(x0)
     B, d = x0.shape
@@ -483,11 +487,11 @@ def batched_levenberg_marquardt(
     lam_max = jnp.asarray(1e10, x0.dtype)
 
     def cond(state):
-        _, _, _, conv, _, n_any = state
+        _, _, _, conv, _, _, n_any = state
         return (~jnp.all(conv)) & (n_any < maxiter)
 
     def body(state):
-        x, sse, lam, conv, nit, n_any = state
+        x, sse, lam, conv, ok, nit, n_any = state
         r, J = rj_all(x, *args)  # (B, m), (B, m, d)
         g = jnp.einsum("bmd,bm->bd", J, r)
         A = jnp.einsum("bmd,bme->bde", J, J)
@@ -510,9 +514,20 @@ def batched_levenberg_marquardt(
             )
             < xtol
         )
-        newly_conv = (accept & ((rel_impr < ftol) | step_small)) | (
-            (~better) & (lam >= lam_max) & ~conv
+        # Converged-for-real: an accepted step whose improvement or
+        # size dropped below tolerance, OR damping saturated while the
+        # PROPOSED step was already negligible (a lane that started at
+        # its optimum: delta ~ 0 never strictly improves, so it rides
+        # the damping ratchet — but it IS at a stationary point).
+        # Saturation with a non-trivial rejected step (NaN data, no
+        # descent direction found) exits the loop as a FAILED lane —
+        # reporting success there gave stuck fits qc_code 0 where the
+        # Nelder-Mead lane correctly marks them 9.
+        stuck = (~better) & (lam >= lam_max) & ~conv
+        conv_good = (accept & ((rel_impr < ftol) | step_small)) | (
+            stuck & step_small
         )
+        newly_conv = conv_good | stuck
 
         new_x = jnp.where(accept[:, None], x_trial, x)
         new_sse = jnp.where(accept, sse_trial, sse)
@@ -528,6 +543,7 @@ def batched_levenberg_marquardt(
             new_sse,
             new_lam,
             conv | newly_conv,
+            ok | conv_good,
             nit + (~conv).astype(nit.dtype),
             n_any + 1,
         )
@@ -535,10 +551,11 @@ def batched_levenberg_marquardt(
     sse0 = sse_all(x0, *args)
     lam0 = jnp.full((B,), 1e-3, x0.dtype)
     conv0 = jnp.zeros((B,), bool)
+    ok0 = jnp.zeros((B,), bool)
     nit0 = jnp.zeros((B,), jnp.int32)
-    x, sse, lam, conv, nit, _ = lax.while_loop(
+    x, sse, lam, conv, ok, nit, _ = lax.while_loop(
         cond,
         body,
-        (x0, sse0, lam0, conv0, nit0, jnp.asarray(0)),
+        (x0, sse0, lam0, conv0, ok0, nit0, jnp.asarray(0)),
     )
-    return NMResult(x, sse, nit, conv)
+    return NMResult(x, sse, nit, ok)

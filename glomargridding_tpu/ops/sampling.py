@@ -38,6 +38,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.cache import BoundedCache
+
 
 class Matvec:
     """A matvec as (static fn, array operands) instead of a closure.
@@ -183,7 +185,10 @@ def kernel_matvec(kernel_fn, lats_rad, lons_rad, n_blocks: int = 16):
     return Matvec(fn, la_b, lo_b, lats_rad, lons_rad)
 
 
-_KERNEL_MV_BY_KEY: dict = {}
+# bounded: kernel_fn is often a per-call closure, so unbounded
+# growth would pin every closure's captured operands for the
+# process lifetime (the memo still de-dupes the hot recent keys)
+_KERNEL_MV_BY_KEY = BoundedCache(32)
 
 
 def estimate_spectral_range(

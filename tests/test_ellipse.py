@@ -1082,6 +1082,15 @@ def test_compute_params_checkpoint_resume(rng, tmp_path):
                 checkpoint=ckpt,
                 **{**kwargs, "max_distance": 5000.0},
             )
+
+        # a DIFFERENT TRAINING CUBE is refused too (same shape/config):
+        # the fingerprint checksums the centred samples, so a completed
+        # checkpoint cannot silently return another cube's fits
+        builder2, _, _ = _synthetic_builder(
+            np.random.default_rng(999), size=(6, 8), n=1500
+        )
+        with pytest.raises(ValueError, match="different configuration"):
+            builder2.compute_params(checkpoint=ckpt, **kwargs)
     finally:
         est._group_fit_fn = real_group_fit_fn
 

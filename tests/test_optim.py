@@ -241,3 +241,39 @@ def test_nm_matches_scipy_on_ellipse_nll(rng):
     # modulo the Lx/Ly symmetry)
     np.testing.assert_allclose(np.asarray(ours.x)[:2], ref.x[:2], rtol=0.02)
     assert abs(float(ours.fun) - ref.fun) < abs(ref.fun) * 1e-3
+
+
+def test_lm_success_semantics(rng):
+    """Levenberg-Marquardt lane outcomes: a solvable lane and a lane
+    that STARTS at its optimum both report success; a NaN-objective
+    lane exits via damping saturation with success=False (it never
+    accepted a step) so compute_params can mark it qc_code 9."""
+    from glomargridding_tpu.ops.optim import batched_levenberg_marquardt
+
+    t = jnp.linspace(0.0, 1.0, 16)
+
+    def res_fun(x, y):
+        return x[0] * t + x[1] - y
+
+    y_good = 2.0 * t + 1.0
+    x0 = jnp.asarray(
+        [
+            [0.5, 0.0],   # converges to (2, 1)
+            [2.0, 1.0],   # already AT the optimum
+            [0.5, 0.0],   # NaN data: no step ever improves
+        ]
+    )
+    ys = jnp.stack([y_good, y_good, jnp.full_like(y_good, jnp.nan)])
+    res = batched_levenberg_marquardt(
+        res_fun, x0, (ys,),
+        (jnp.asarray([-10.0, -10.0]), jnp.asarray([10.0, 10.0])),
+    )
+    assert bool(res.success[0])
+    np.testing.assert_allclose(
+        np.asarray(res.x[0]), [2.0, 1.0], atol=1e-4
+    )
+    assert bool(res.success[1])
+    np.testing.assert_allclose(
+        np.asarray(res.x[1]), [2.0, 1.0], atol=1e-6
+    )
+    assert not bool(res.success[2])

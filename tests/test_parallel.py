@@ -615,3 +615,34 @@ def test_sharded_compute_params_rounds_chunk(rng):
             mesh=mesh,
         )
     assert np.isfinite(params["R"].values).any()
+
+
+def test_sharded_compute_params_subchunk_grid(rng):
+    """A grid SMALLER than one chunk whose point count is not a multiple
+    of the mesh axis (4 x 6 = 24 points minus any masked) must pad its
+    single fit row up to the axis size instead of crashing in
+    shard_map's divisibility check."""
+    from test_ellipse import _synthetic_builder
+
+    from glomargridding_tpu.models.ellipse import EllipseModel
+
+    builder, _, _ = _synthetic_builder(rng, size=(3, 6), n=600)
+    iso = EllipseModel(
+        anisotropic=False, rotated=False, physical_distance=True,
+        v=0.5, unit_sigma=True,
+    )
+    mesh = make_mesh(n_grid=8, n_ens=1)
+    params = builder.compute_params(
+        default_value=[-999.0] * iso.supercategory_n_params,
+        matern_ellipse=iso,
+        bounds=[(100.0, 20000.0)],
+        guesses=[500.0],
+        max_distance=8000.0,
+        delta_x_method="Modified_Met_Office",
+        chunk_size=64,  # 18 points -> one short chunk, 18 % 8 != 0
+        mesh=mesh,
+        estimate_SE="hessian",
+    )
+    R = params["R"].values
+    assert np.isfinite(R).any()
+    assert np.isfinite(params["R_se"].values).any()
