@@ -190,9 +190,9 @@ def bench_kriging_tenth():
     One v5e chip, zero covariance storage: the dense covariance would
     be 168 TB; C_cross alone streamed in column blocks. The kriging
     wall (~15 s warm) sits at the honest-precision roofline —
-    diag(C' K^-1 C) costs one (5001 x 12.7k)-RHS triangular pass per
-    tile (m^2 n ~ 1.6e14 FLOPs; see docs/perf.md on TPU triangular
-    throughput). The 100-member obs-perturbation ensemble (field +
+    diag(C' K^-1 C) costs one m^2 n ~ 3.2e14-FLOP quadratic-form pass
+    (Linv @ tile matmuls at HIGHEST precision run it at the f32-exact
+    MXU ceiling; see docs/perf.md). The 100-member obs-perturbation ensemble (field +
     648M member values) is faster than the diagnostics run: solving
     once against the (n, members) RHS leaves every streamed tile pure
     MXU matmuls. First-ever run pays ~200 s of XLA compiles (persisted

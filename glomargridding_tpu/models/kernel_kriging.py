@@ -151,11 +151,22 @@ def _kernel_kriging_jit(
     K = kernel_fn(la_o, lo_o, la_o, lo_o)
     if error_cov is not None:
         K = K + error_cov
-    # One n x n Cholesky; per block only ONE triangular solve with B RHS:
-    # the field and the colsum diagnostics contract precomputed n-vectors
-    # (w = K^{-1}y, u = K^{-1}1) against the tile, and
-    # diag(Cc' K^{-1} Cc) = column norms of L^{-1} Cc. This halves the
-    # dominant M-RHS triangular-solve FLOPs vs cho_solve per tile.
+    # One n x n Cholesky; per block only ONE triangular application with
+    # B RHS: the field and the colsum diagnostics contract precomputed
+    # n-vectors (w = K^{-1}y, u = K^{-1}1) against the tile, and
+    # diag(Cc' K^{-1} Cc) = column norms of L^{-1} Cc. The application
+    # runs as Linv @ Cc, ONE f32-exact MXU matmul against the
+    # precomputed small inverse, not a tall triangular solve: isolated
+    # at (n=5000, B=32768) the triangular kernel is 1.5x slower than
+    # the HIGHEST-precision matmul (112 -> 75 ms/tile); end-to-end the
+    # win is shape-dependent (259k: 0.66 -> 0.63 s; at the 0.1-degree
+    # tile shape both run at the f32 quadratic-form roofline, ~15 s —
+    # docs/perf.md). Numerically safe HERE because the inverse's
+    # roundoff lands in sv = ||U||^2 columnwise — a positive quadratic
+    # form of the solution, measured 9e-7 relative vs the f64 oracle —
+    # while the FIELD solves stay cho_solve (their results feed
+    # differences of large terms, see docs/perf.md "Explored and
+    # rejected").
     L = jnp.linalg.cholesky(K)
     factor = (L, True)
     n = idx.shape[0]
@@ -164,6 +175,9 @@ def _kernel_kriging_jit(
     w = jsl.cho_solve(factor, y)
     s = jnp.sum(u)
     uy = u @ y
+    Linv = jsl.solve_triangular(
+        L, jnp.eye(n, dtype=L.dtype), lower=True
+    )
 
     la_b, _ = _pad_blocks(la, n_blocks)
     lo_b, _ = _pad_blocks(lo, n_blocks)
@@ -171,7 +185,7 @@ def _kernel_kriging_jit(
     def per_block(_, inputs):
         la_blk, lo_blk = inputs
         Cc = kernel_fn(la_o, lo_o, la_blk, lo_blk)  # (n, B)
-        U = jsl.solve_triangular(L, Cc, lower=True)
+        U = jnp.matmul(Linv, Cc, precision=jax.lax.Precision.HIGHEST)
         sv = jnp.einsum("nb,nb->b", U, U)
         if method == "ordinary":
             t = u @ Cc

@@ -58,7 +58,12 @@ def sharded_kriging_from_kernel(
         s = jnp.sum(u)
         uy = u @ y
         Cc = kernel_fn(la_o, lo_o, la_blk, lo_blk)
-        U = jsl.solve_triangular(L, Cc, lower=True)
+        # Linv matmul instead of the tall triangular solve — same
+        # restructure + precision argument as the single-chip path
+        Linv = jsl.solve_triangular(
+            L, jnp.eye(L.shape[0], dtype=L.dtype), lower=True
+        )
+        U = jnp.matmul(Linv, Cc, precision=jax.lax.Precision.HIGHEST)
         sv = jnp.einsum("nb,nb->b", U, U)
         t = u @ Cc
         lam = (t - 1.0) / s
