@@ -92,16 +92,22 @@ def ellipse_covariance_block(
     s11 = 0.5 * (sig_i[:, 2][:, None] + sig_j[:, 2][None, :])
     det_bar = s00 * s11 - s01 * s01
 
-    pref = (stdev_i[:, None] * stdev_j[None, :]) / (
-        math.gamma(v) * (2.0 ** (v - 1.0))
-    )
-    pref = pref * jnp.sqrt(
-        (sqrt_det_i[:, None] * sqrt_det_j[None, :]) / det_bar
-    )
+    # The sweep is VPU-transcendental-bound (docs/perf.md), so count
+    # per-PAIR slow ops: one rsqrt supplies both 1/sqrt(det_bar) (pref)
+    # and 1/det_bar = rsqrt^2 (quad) — replacing a pairwise divide, a
+    # ratio sqrt and a second divide; the per-point amplitude
+    # stdev * det^(1/4) is hoisted out of the pair loop.
+    r_det = jax.lax.rsqrt(det_bar)
+    amp_i = stdev_i * jnp.sqrt(sqrt_det_i)
+    amp_j = stdev_j * jnp.sqrt(sqrt_det_j)
+    pref = (
+        (amp_i[:, None] * amp_j[None, :])
+        / (math.gamma(v) * (2.0 ** (v - 1.0)))
+    ) * r_det
 
     quad = (
         dx * (dx * s11 - dy * s01) + dy * (dy * s00 - dx * s01)
-    ) / det_bar
+    ) * (r_det * r_det)
     tau = jnp.sqrt(jnp.clip(quad, 0.0, None))
     inner = (2.0 * math.sqrt(v)) * tau
     # fused x^v K_v (one exp for half-integer v) — same chain the

@@ -212,14 +212,20 @@ def _ellipse_kernel_body(
 
     # The closed-form correlation _matern_halfint_corr(inner) equals
     # inner^v K_v(inner) / (Gamma(v) 2^{v-1}), so c_ij reduces to
-    # stdev_i stdev_j * sqrt(det ratio) * corr — no explicit gamma term.
-    pref = (sg_i_ref[:] * sg_j_ref[:]) * jnp.sqrt(
-        (sd_i_ref[:] * sd_j_ref[:]) / det_bar
-    )
+    # stdev_i stdev_j * sqrt(det ratio) * corr — no explicit gamma
+    # term. One rsqrt supplies both 1/sqrt(det_bar) and 1/det_bar
+    # (= rsqrt^2), replacing a pairwise ratio-sqrt and two divides —
+    # the tile is VPU-transcendental-bound (docs/perf.md), so per-pair
+    # slow-op count is the wall.
+    r_det = jax.lax.rsqrt(det_bar)
+    # per-point strip sqrts ((TM,1)/(1,TN)), not a pairwise sqrt
+    amp_i = sg_i_ref[:] * jnp.sqrt(sd_i_ref[:])
+    amp_j = sg_j_ref[:] * jnp.sqrt(sd_j_ref[:])
+    pref = (amp_i * amp_j) * r_det
 
-    quad = (dx * (dx * s11 - dy * s01) + dy * (dy * s00 - dx * s01)) / (
-        det_bar
-    )
+    quad = (
+        dx * (dx * s11 - dy * s01) + dy * (dy * s00 - dx * s01)
+    ) * (r_det * r_det)
     tau = jnp.sqrt(jnp.clip(quad, 0.0, None))
     inner = sqrt_v2 * tau
     corr = _matern_halfint_corr(inner, nu)
