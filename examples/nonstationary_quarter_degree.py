@@ -14,7 +14,7 @@ end-to-end here:
      peak at 15.8 GB of (B, N) temps and OOM a 16 GB v5e; see
      ``compute_params``'s automatic cap). The stage checkpoints every
      few chunks (``checkpoint=``), so a preempted run resumes from
-     the last saved chunk instead of refitting ~96 s of work;
+     the last saved chunk instead of refitting ~60-100 s of work;
   2. ``store="stream"``: Paciorek-Schervish covariance tiles are
      rebuilt from the fitted parameter fields inside every operator
      application under ``lax.scan`` — O(n * block) memory, 0 bytes
@@ -32,7 +32,7 @@ jax.Array, no 62 MB host round-trip; the spread is one-shot program
 shipping over the tunnel), lazy correlation 0.4-5.9 s, whole-grid MLE
 96-104 s fresh — or 0.6-1.5 s resumed from a completed checkpoint —
 (259,104 of 259,200 fits converged; 32 grouped dispatches of
-8 x 1024 fits), stream-operator warm-up 2-10 s, PSD repair 27 s
+8 x 1024 fits), stream-operator warm-up 2-10 s, PSD repair 23-36 s
 (rank 1152, trace to 2.4e-7; deflated warm widening + predicted rank
 — was 38-42 s with joint re-iteration), kriging + 100 members 2-4 s
 first dispatch / 0.08 s warm (diagonal obs-error vector -> Woodbury

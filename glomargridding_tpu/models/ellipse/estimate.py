@@ -1066,18 +1066,37 @@ class EllipseBuilder:
             with np.load(checkpoint) as data:
                 saved_fp = str(data["fingerprint"])
                 if saved_fp != fingerprint:
-                    raise ValueError(
-                        f"checkpoint {checkpoint!r} was written by a fit "
-                        "with a different configuration — delete it (or "
-                        "point elsewhere) to refit"
+                    # Distinguish a LIBRARY fingerprint-schema upgrade
+                    # (different key set — e.g. an old checkpoint
+                    # predating the training-data checksum) from a
+                    # genuine configuration/data mismatch: the former
+                    # refits fresh with a warning, the latter refuses —
+                    # silently mixing fits is the failure mode the
+                    # fingerprint exists to prevent.
+                    try:
+                        saved_keys = set(json.loads(saved_fp))
+                    except (json.JSONDecodeError, TypeError):
+                        saved_keys = set()
+                    if saved_keys == set(json.loads(fingerprint)):
+                        raise ValueError(
+                            f"checkpoint {checkpoint!r} was written by "
+                            "a fit with a different configuration — "
+                            "delete it (or point elsewhere) to refit"
+                        )
+                    warn(
+                        f"checkpoint {checkpoint!r} uses an older "
+                        "fingerprint format; refitting from scratch "
+                        "(the file will be overwritten)"
                     )
-                n_done = int(data["n_done"])
-                for name in host_parts:
-                    host_parts[name].append(data[name][:n_done])
-            logger.info(
-                "resuming whole-grid fit from %s: %d/%d points done",
-                checkpoint, n_done, n_points,
-            )
+                else:
+                    n_done = int(data["n_done"])
+                    for name in host_parts:
+                        host_parts[name].append(data[name][:n_done])
+            if n_done:
+                logger.info(
+                    "resuming whole-grid fit from %s: %d/%d points done",
+                    checkpoint, n_done, n_points,
+                )
 
         pending: list[tuple] = []
 

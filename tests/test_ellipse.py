@@ -1202,3 +1202,42 @@ def test_compute_params_hessian_se(rng):
          p["theta_se"].values[gj, gi]]
     )
     np.testing.assert_allclose(se_grid, se_single, rtol=0.1)
+
+
+def test_checkpoint_schema_upgrade_refits(rng, tmp_path):
+    """A checkpoint whose fingerprint has a DIFFERENT KEY SET (an older
+    library format) warns and refits; only a same-schema value mismatch
+    refuses."""
+    import json as _json
+
+    builder, _, _ = _synthetic_builder(rng, size=(4, 6), n=800)
+    iso = EllipseModel(
+        anisotropic=False, rotated=False, physical_distance=True,
+        v=0.5, unit_sigma=True,
+    )
+    ckpt = str(tmp_path / "old_format.npz")
+    # fabricate an old-format checkpoint: valid npz, fingerprint JSON
+    # missing the round-3 "data" key
+    old_fp = _json.dumps({"n_points": 24, "model": "old"})
+    np.savez(
+        ckpt,
+        fingerprint=np.asarray(old_fp),
+        n_done=np.asarray(24),
+        x=np.zeros((24, 1)),
+        nit=np.zeros(24),
+        success=np.ones(24, bool),
+        has_data=np.ones(24, bool),
+    )
+    with pytest.warns(UserWarning, match="older"):
+        params = builder.compute_params(
+            default_value=[-999.0] * iso.supercategory_n_params,
+            matern_ellipse=iso,
+            bounds=[(100.0, 20000.0)],
+            guesses=[500.0],
+            max_distance=8000.0,
+            delta_x_method="Modified_Met_Office",
+            chunk_size=16,
+            checkpoint=ckpt,
+        )
+    # refit actually happened (fabricated zeros would all be qc 9/bounds)
+    assert np.isfinite(params["R"].values).any()
