@@ -742,16 +742,22 @@ def main():
 
     # Per-run wall budget for the extras: each one is try/except'd, and
     # once the budget is gone the rest record "skipped" rather than
-    # risking an external kill that would erase the full line.
-    budget_s = float(os.environ.get("GLOMAR_BENCH_BUDGET_S", "900"))
+    # risking an external kill that would erase the full line. Ordered
+    # by value-per-risk: the 0.1-degree flagship runs BEFORE the
+    # redundant small-scale extras (a remote-compile latency spike —
+    # measured up to 290 s on a section that warm-runs in 20 s — must
+    # not cost the headline "cannot-run-anywhere-else" row), and the
+    # accumulating line is re-emitted after every extra so an external
+    # kill preserves everything finished so far.
+    budget_s = float(os.environ.get("GLOMAR_BENCH_BUDGET_S", "1200"))
     extras = {}
     for name, fn in (
         ("kriging_259k", bench_kriging_quarter),
         ("nonstationary_65k_lowrank", bench_lowrank_65k),
         ("reference_configs_5deg", bench_reference_trio),
+        ("kriging_6.5M_tenth_degree", bench_kriging_tenth),
         ("stream_16k", bench_stream_clip),
         ("lazy_mle_259k", bench_lazy_mle),
-        ("kriging_6.5M_tenth_degree", bench_kriging_tenth),
     ):
         t0 = time.perf_counter()
         if t0 - t_start > budget_s:
@@ -762,6 +768,7 @@ def main():
         except Exception as e:
             extras[name] = {"skipped": f"{type(e).__name__}: {e}"[:120]}
         _stamp(f"extra {name}", t0)
+        print(json.dumps({**headline, **extras}), flush=True)
     print(json.dumps({**headline, **extras}), flush=True)
 
 

@@ -149,3 +149,21 @@ def test_get_recurse():
 
 def test_sizeof_fmt():
     assert sizeof_fmt(123456789) == "117.7MiB"
+
+
+def test_bounded_cache_lru():
+    """BoundedCache: setdefault/get refresh recency; eviction drops the
+    least-recently-used entry at maxsize."""
+    from glomargridding_tpu.utils.cache import BoundedCache
+
+    c = BoundedCache(2)
+    assert c.setdefault("a", 1) == 1
+    assert c.setdefault("b", 2) == 2
+    assert c.setdefault("a", 99) == 1  # hit refreshes, keeps value
+    c["c"] = 3  # evicts "b" (least recent), not "a"
+    assert "b" not in c
+    assert c.get("a") == 1 and c.get("c") == 3
+    assert c.get("missing", "dflt") == "dflt"
+    assert len(c) == 2
+    c.clear()
+    assert len(c) == 0
