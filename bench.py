@@ -685,6 +685,13 @@ def _run_once():
     ensemble_s = bench_ensemble()
     t0 = _stamp("ensemble section", t0)
     pallas = bench_pallas_ellipse()
+    # the small-size point where kernel fusion beats XLA's
+    # dispatch overhead (the README capability claim) — recorded,
+    # not just prose
+    pallas["n4096"] = {
+        k: v for k, v in bench_pallas_ellipse(n=4096).items()
+        if k in ("pallas_s", "xla_s", "speedup", "rel_err")
+    }
     _stamp("pallas section", t0)
     return kriging_s, ensemble_s, pallas
 

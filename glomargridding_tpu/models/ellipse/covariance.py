@@ -156,10 +156,13 @@ def build_ellipse_covariance(
     Adds diag(stdev^2) at the end. Memory high-water is
     row_block x N per launch. With ``use_pallas`` (default "auto": on
     when running on a TPU backend and v is half-integer, v <= 3.5) the
-    whole assembly runs as one fused Pallas tile kernel (measured on
-    v5e with an honest device sync: 2.2x the XLA path at n=4k, 1.1x at
-    n=16k where both approach the VPU transcendental roofline;
-    ``bench.py`` records the check every run).
+    whole assembly runs as one fused Pallas tile kernel. Measured on
+    v5e with an honest device sync: PARITY with the XLA path at both
+    n=4k and n=16k (``bench.py`` records the comparison every run) —
+    the Pallas kernel led 2.2x at 4k until the shared tile algebra
+    (fused x^v K_v, one rsqrt for pref+quad) brought the XLA path to
+    the same VPU transcendental roofline. Kept as the default for the
+    guaranteed single-pass fusion at any size.
     """
     if use_pallas == "auto":
         import jax as _jax
