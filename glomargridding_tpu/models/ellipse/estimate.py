@@ -1076,8 +1076,13 @@ class EllipseBuilder:
                     try:
                         saved_keys = set(json.loads(saved_fp))
                     except (json.JSONDecodeError, TypeError):
-                        saved_keys = set()
-                    if saved_keys == set(json.loads(fingerprint)):
+                        # unparseable/corrupt fingerprint — NOT a known
+                        # older format; refuse rather than scheduling
+                        # the file for overwrite
+                        saved_keys = None
+                    if saved_keys is None or saved_keys == set(
+                        json.loads(fingerprint)
+                    ):
                         raise ValueError(
                             f"checkpoint {checkpoint!r} was written by "
                             "a fit with a different configuration — "

@@ -1241,3 +1241,30 @@ def test_checkpoint_schema_upgrade_refits(rng, tmp_path):
         )
     # refit actually happened (fabricated zeros would all be qc 9/bounds)
     assert np.isfinite(params["R"].values).any()
+
+
+def test_checkpoint_corrupt_fingerprint_refuses(rng, tmp_path):
+    """An UNPARSEABLE fingerprint (corrupt file, or checkpoint= pointed
+    at an unrelated npz) refuses instead of scheduling the file for
+    overwrite — only a parseable dict with a different key set proves a
+    library-format upgrade."""
+    builder, _, _ = _synthetic_builder(rng, size=(4, 6), n=800)
+    iso = EllipseModel(
+        anisotropic=False, rotated=False, physical_distance=True,
+        v=0.5, unit_sigma=True,
+    )
+    ckpt = str(tmp_path / "corrupt.npz")
+    np.savez(ckpt, fingerprint=np.asarray("{not json"),
+             n_done=np.asarray(0))
+    with pytest.raises(ValueError, match="different configuration"):
+        builder.compute_params(
+            default_value=[-999.0] * iso.supercategory_n_params,
+            matern_ellipse=iso,
+            bounds=[(100.0, 20000.0)],
+            guesses=[500.0],
+            max_distance=8000.0,
+            delta_x_method="Modified_Met_Office",
+            chunk_size=16,
+            checkpoint=ckpt,
+        )
+    assert os.path.exists(ckpt)  # file untouched
