@@ -646,3 +646,46 @@ def test_sharded_compute_params_subchunk_grid(rng):
     R = params["R"].values
     assert np.isfinite(R).any()
     assert np.isfinite(params["R_se"].values).any()
+
+
+def test_sharded_fit_with_groups_and_checkpoint(rng, tmp_path):
+    """mesh= composes with dispatch_chunks>1 and checkpoint=: the
+    grouped (G, B) program shards its lane axis, sharded results fetch
+    into the checkpoint accumulators, and a resume completes without
+    refitting."""
+    from test_ellipse import _synthetic_builder
+
+    from glomargridding_tpu.models.ellipse import EllipseModel
+
+    builder, _, _ = _synthetic_builder(rng, size=(8, 10), n=1200)
+    iso = EllipseModel(
+        anisotropic=False, rotated=False, physical_distance=True,
+        v=0.5, unit_sigma=True,
+    )
+    mesh = make_mesh(n_grid=8, n_ens=1)
+    ckpt = str(tmp_path / "sharded_fit.npz")
+    kwargs = dict(
+        default_value=[-999.0] * iso.supercategory_n_params,
+        matern_ellipse=iso,
+        bounds=[(100.0, 20000.0)],
+        guesses=[500.0],
+        max_distance=8000.0,
+        delta_x_method="Modified_Met_Office",
+        chunk_size=16,  # 80 points -> 5 chunks
+        dispatch_chunks=2,
+        mesh=mesh,
+    )
+    p1 = builder.compute_params(checkpoint=ckpt, **kwargs)
+    # completed checkpoint: the rerun reloads without fitting
+    p2 = builder.compute_params(checkpoint=ckpt, **kwargs)
+    np.testing.assert_array_equal(p1["R"].values, p2["R"].values)
+    np.testing.assert_array_equal(
+        p1["qc_code"].values, p2["qc_code"].values
+    )
+    # and matches the plain single-program fit
+    p3 = builder.compute_params(
+        **{**kwargs, "mesh": None, "dispatch_chunks": 1}
+    )
+    np.testing.assert_allclose(
+        p1["R"].values, p3["R"].values, rtol=1e-6, atol=1e-6
+    )
