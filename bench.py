@@ -192,7 +192,8 @@ def bench_kriging_tenth():
     wall (~15 s warm) sits at the honest-precision roofline —
     diag(C' K^-1 C) costs one m^2 n ~ 3.2e14-FLOP quadratic-form pass
     (Linv @ tile matmuls at HIGHEST precision run it at the f32-exact
-    MXU ceiling; see docs/perf.md). The 100-member obs-perturbation ensemble (field +
+    MXU ceiling; see docs/perf.md). The 100-member
+    obs-perturbation ensemble (field +
     648M member values) is faster than the diagnostics run: solving
     once against the (n, members) RHS leaves every streamed tile pure
     MXU matmuls. First-ever run pays ~200 s of XLA compiles (persisted

@@ -163,7 +163,10 @@ def open_dataset(path: str) -> Dataset:
                 k: _decode_attr(v)
                 for k, v in obj.attrs.items()
                 if not k.startswith("_Netcdf4")
-                and k not in ("DIMENSION_LIST", "CLASS", "NAME", "REFERENCE_LIST")
+                and k not in (
+                    "DIMENSION_LIST", "CLASS", "NAME",
+                    "REFERENCE_LIST",
+                )
             }
             variables[short] = (_var_dims(f, obj), _decode_values(obj), attrs)
 

@@ -937,7 +937,8 @@ class EllipseBuilder:
         per group. Driver-recorded at the 259k shape: 8 warm chunks
         in 1.56 s grouped vs 1.75 s as single dispatches (~11% — the
         single-chunk loop is already async-pipelined; the grouped
-        lane also cuts RPC count 8x). Memory is unchanged: the (B, N) training temps are
+        lane also cuts RPC count 8x). Memory is unchanged: the
+        (B, N) training temps are
         scan-internal and reused across iterations. Use 4-16 for
         production whole-grid fits; 1 (default) keeps the single-chunk
         dispatch granularity.

@@ -90,7 +90,9 @@ def legendre_table(l_max: int, lats_deg) -> np.ndarray:
         b = np.sqrt(
             ((l - 1.0) ** 2 - m * m) / (4.0 * (l - 1.0) ** 2 - 1.0)
         )[:, None]
-        P[l, : l - 1] = a * (x[None, :] * P[l - 1, : l - 1] - b * P[l - 2, : l - 1])
+        P[l, : l - 1] = a * (
+            x[None, :] * P[l - 1, : l - 1] - b * P[l - 2, : l - 1]
+        )
     return P
 
 

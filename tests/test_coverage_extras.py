@@ -44,7 +44,10 @@ def test_add_empty_layers(tmp_path, rng):
 
 def test_select_bounds_dataset():
     coords = Coordinates(
-        {"lat": np.arange(-80.0, 90.0, 20.0), "lon": np.arange(0.0, 360.0, 40.0)}
+        {
+            "lat": np.arange(-80.0, 90.0, 20.0),
+            "lon": np.arange(0.0, 360.0, 40.0),
+        }
     )
     arr = DataArray(
         np.arange(9.0 * 9.0).reshape(9, 9), coords, name="v"

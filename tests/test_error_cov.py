@@ -50,7 +50,8 @@ def test_uncorrelated_from_column(obs_df):
 
 def test_correlated_block_structure(obs_df):
     E = correlated_components(
-        obs_df, "data_type", bias_sig_map={"ship": 2.0, "buoy": 1.0, "argo": 3.0}
+        obs_df, "data_type",
+        bias_sig_map={"ship": 2.0, "buoy": 1.0, "argo": 3.0},
     )
     # ship rows: 0, 2
     assert E[0, 2] == 4.0 and E[2, 0] == 4.0 and E[0, 0] == 4.0

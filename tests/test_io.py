@@ -13,12 +13,19 @@ from glomargridding_tpu.io import (
     save_dataset,
 )
 
-from conftest import REFERENCE_DATA, requires_reference_data, reference_data_path
+from conftest import (
+    REFERENCE_DATA,
+    reference_data_path,
+    requires_reference_data,
+)
 
 
 def test_save_load_roundtrip(tmp_path, rng):
     coords = Coordinates(
-        {"lat": np.arange(-80.0, 90.0, 20.0), "lon": np.arange(0.0, 360.0, 40.0)}
+        {
+            "lat": np.arange(-80.0, 90.0, 20.0),
+            "lon": np.arange(0.0, 360.0, 40.0),
+        }
     )
     data = rng.random(coords.shape)
     ds = Dataset(

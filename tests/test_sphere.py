@@ -206,7 +206,8 @@ def test_device_legendre_table_matches_f64_oracle():
             ((l - 1.0) ** 2 - m * m) / (4.0 * (l - 1.0) ** 2 - 1)
         ).astype(np.float32)
         plain[l, : l - 1] = a[:, None] * (
-            x32[None, :] * plain[l - 1, : l - 1] - b[:, None] * plain[l - 2, : l - 1]
+            x32[None, :] * plain[l - 1, : l - 1]
+            - b[:, None] * plain[l - 2, : l - 1]
         )
     plain_err = np.abs(plain - host).max()
     assert plain_err > 5e-3, plain_err  # underflow visibly bites...
