@@ -20,11 +20,17 @@ re-implementation:
              with use_pallas=True vs False at n=16384 — compiled-mode
              parity and speedup in the same JSON line (TPU only).
 
-Prints ONE JSON line:
+Prints an ACCUMULATING JSON line after every section and extra (so an
+external kill at any point leaves the most complete result already on
+stdout); consumers must take the LAST parseable line. Schema of that
+line:
   {"metric": ..., "value": seconds, "unit": "s", "vs_baseline": speedup,
    "draws_per_sec": ..., "ensemble_s": ..., "pallas_ellipse_16k": {...}}
-vs_baseline is (10 s north-star target) / measured, so > 1 beats the
-target.
+Numeric fields keep their type on degraded runs: a failed section sets
+its numeric field to null and records the reason in a sibling
+``<field>_skipped`` string (dict-valued sections degrade to
+``{"skipped": reason}``). vs_baseline is (10 s north-star target) /
+measured, so > 1 beats the target.
 """
 
 import json
@@ -741,9 +747,10 @@ def main():
             draws_per_sec=round(N_MEMBERS / ensemble_s, 1),
         )
     except Exception as e:
-        headline["ensemble_s"] = {
-            "skipped": f"{type(e).__name__}: {e}"[:120]
-        }
+        # keep ensemble_s numeric-or-null across artifacts (BENCH_r0*.json
+        # consumers do arithmetic on it); the reason rides a sibling key
+        headline["ensemble_s"] = None
+        headline["ensemble_skipped"] = f"{type(e).__name__}: {e}"[:120]
     t0 = _stamp("ensemble section", t0)
     print(json.dumps(headline), flush=True)
 
@@ -782,12 +789,16 @@ def main():
         t0 = time.perf_counter()
         if t0 - t_start > budget_s:
             extras[name] = {"skipped": "bench time budget exhausted"}
-            continue
-        try:  # never let an extra block kill the headline metric
-            extras[name] = fn()
-        except Exception as e:
-            extras[name] = {"skipped": f"{type(e).__name__}: {e}"[:120]}
-        _stamp(f"extra {name}", t0)
+        else:
+            try:  # never let an extra block kill the headline metric
+                extras[name] = fn()
+            except Exception as e:
+                extras[name] = {
+                    "skipped": f"{type(e).__name__}: {e}"[:120]
+                }
+            _stamp(f"extra {name}", t0)
+        # re-emit after EVERY extra — including budget-skipped ones, so
+        # an external kill right here still preserves the skip marker
         print(json.dumps({**headline, **extras}), flush=True)
     print(json.dumps({**headline, **extras}), flush=True)
 

@@ -21,11 +21,14 @@ numerics re-designed for TPU:
   forms the full M x M product ``W @ C_cross`` for its diagonal
   (``kriging.py:700``), which is O(M^2) and the dominant cost at scale.
 
-- The ordinary-kriging uncertainty reproduces the reference's published
+- The ordinary-kriging uncertainty defaults to the reference's published
   formula (``kriging.py:699-701``): ``diag(C) - (w_j'c_j + lambda_j)
-  - lambda_j``; textbook OK variance would subtract ``lambda_j`` once —
-  we match the reference bit-for-bit (its class and function forms agree
-  with each other and with its tests).
+  - lambda_j`` — the multiplier is subtracted twice, which is a known
+  quirk of the reference we replicate bit-for-bit for parity (its class
+  and function forms agree with each other and with its tests).
+  ``OrdinaryKriging(..., uncertainty="textbook")`` (and the same switch
+  on ``StochasticKriging``) selects the standard OK variance
+  ``diag(C) - w_j'c_j - lambda_j`` (one subtraction) instead.
 
 All solver maths is jitted; classes are thin host-side wrappers holding
 device arrays and matching the reference's constructor/attribute surface
@@ -389,9 +392,32 @@ class OrdinaryKriging(Kriging):
     solve reuses one SPD Cholesky factor (see module docstring). The
     exposed `kriging_weights` attribute keeps the reference's layout:
     M x (n+1) with the Lagrange multiplier in the last column.
+
+    ``uncertainty`` selects the variance convention: "reference"
+    (default) replicates the reference's double lambda subtraction
+    (``kriging.py:699-701``); "textbook" subtracts the Lagrange
+    multiplier once (the standard OK variance).
     """
 
     method: str = "ordinary"
+
+    def __init__(
+        self,
+        covariance,
+        idx,
+        obs,
+        error_cov=None,
+        *,
+        uncertainty: Literal["reference", "textbook"] = "reference",
+    ) -> None:
+        if uncertainty not in ("reference", "textbook"):
+            raise ValueError(
+                f"Unknown 'uncertainty' convention: {uncertainty!r}"
+            )
+        self.uncertainty_convention = uncertainty
+        super().__init__(
+            covariance=covariance, idx=idx, obs=obs, error_cov=error_cov
+        )
 
     def _full_solve(self):
         K, C_cross, C_diag = self._blocks()
@@ -405,6 +431,7 @@ class OrdinaryKriging(Kriging):
         W = V.T - lam[:, None] * u[None, :]
         self.kriging_weights = jnp.concatenate([W, lam[:, None]], axis=1)
         self._uncert2 = uncert2
+        self._lam = lam
         self._cmask = cmask
         self._field = np.asarray(field)
         return self._field
@@ -435,9 +462,20 @@ class OrdinaryKriging(Kriging):
         return self._full_solve()
 
     def get_uncertainty(self):
-        """Reference-formula OK uncertainty (see module docstring)."""
+        """OK uncertainty in the selected convention (see class docs).
+
+        reference: diag(C) - (w'c + lam) - lam (double subtraction);
+        textbook:  diag(C) - w'c - lam (= reference + lam).
+        """
+        textbook = (
+            getattr(self, "uncertainty_convention", "reference")
+            == "textbook"
+        )
         if hasattr(self, "_uncert2"):
-            return _finalise_uncert(self._uncert2)
+            uncert2 = self._uncert2
+            if textbook:
+                uncert2 = uncert2 + self._lam
+            return _finalise_uncert(uncert2)
         if not hasattr(self, "kriging_weights"):
             raise KeyError("Please compute Kriging Weights first")
         _, C_cross, C_diag = self._blocks()
@@ -446,8 +484,11 @@ class OrdinaryKriging(Kriging):
         M = C_cross.shape[1]
         ones_m = jnp.ones((1, M), C_cross.dtype)
         ext = jnp.concatenate([C_cross, ones_m], axis=0)
+        # diag_wc = w'c + lam (the ones row contributes lam once)
         diag_wc = jnp.einsum("nm,mn->m", ext, Wext)
-        uncert2 = C_diag - diag_wc - alpha
+        uncert2 = C_diag - diag_wc
+        if not textbook:
+            uncert2 = uncert2 - alpha
         return _finalise_uncert(uncert2)
 
     def constraint_mask(self, simple_kriging_weights=None):

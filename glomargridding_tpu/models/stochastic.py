@@ -207,11 +207,27 @@ class StochasticKriging(Kriging):
 
     method = "stochastic"
 
-    def __init__(self, covariance, idx, obs, error_cov) -> None:
+    def __init__(
+        self,
+        covariance,
+        idx,
+        obs,
+        error_cov,
+        *,
+        uncertainty: str = "reference",
+    ) -> None:
         if error_cov is None:
             raise ValueError(
                 "Error Covariance must be provided for StochasticKriging"
             )
+        if uncertainty not in ("reference", "textbook"):
+            raise ValueError(
+                f"Unknown 'uncertainty' convention: {uncertainty!r}"
+            )
+        # "reference" replicates the reference's double lambda
+        # subtraction (kriging.py:699-701); "textbook" subtracts the
+        # Lagrange multiplier once (see OrdinaryKriging).
+        self.uncertainty_convention = uncertainty
         super().__init__(
             covariance=covariance, idx=idx, obs=obs, error_cov=error_cov
         )
@@ -234,6 +250,7 @@ class StochasticKriging(Kriging):
         self.kriging_weights = jnp.concatenate([W, lam[:, None]], axis=1)
         self._field = field  # device-resident; fetched only on user read
         self._uncert2 = uncert2
+        self._lam = lam
         self._cmask = cmask
 
     def kriging_weights_from_inverse(self, inv) -> None:
@@ -252,9 +269,20 @@ class StochasticKriging(Kriging):
         self.kriging_weights = np.asarray((inv_ext @ ext).T)
 
     def get_uncertainty(self):
-        """Ordinary-kriging uncertainty of the first stage."""
+        """Ordinary-kriging uncertainty of the first stage.
+
+        Convention selected at construction: "reference" (double lambda
+        subtraction, parity) or "textbook" (single subtraction).
+        """
+        textbook = (
+            getattr(self, "uncertainty_convention", "reference")
+            == "textbook"
+        )
         if hasattr(self, "_uncert2"):
-            return _finalise_uncert(self._uncert2)
+            uncert2 = self._uncert2
+            if textbook:
+                uncert2 = uncert2 + self._lam
+            return _finalise_uncert(uncert2)
         if not hasattr(self, "kriging_weights"):
             raise KeyError("Please compute Kriging Weights first")
         _, C_cross, C_diag = self._blocks()
@@ -263,7 +291,10 @@ class StochasticKriging(Kriging):
         ones_m = jnp.ones((1, C_cross.shape[1]), C_cross.dtype)
         ext = jnp.concatenate([C_cross, ones_m], axis=0)
         diag_wc = jnp.einsum("nm,mn->m", ext, Wext)
-        return _finalise_uncert(C_diag - diag_wc - alpha)
+        uncert2 = C_diag - diag_wc
+        if not textbook:
+            uncert2 = uncert2 - alpha
+        return _finalise_uncert(uncert2)
 
     def constraint_mask(self):
         """Constraint mask from the simple kriging weights."""
@@ -412,6 +443,12 @@ def batched_ensemble_step(key, covariance, error_cov, idx, obs, n_members):
     Returns (members, gridded_field): members is (n_members, M). This is
     the production path for 100-member ensembles — the per-member work is
     two matvecs, all batched on the MXU.
+
+    Merely near-PSD inputs (the normal case for clipped/estimated
+    covariances) are rescued: a NaN Cholesky factor of either C or E
+    falls back to the eigen-repaired symmetric factor instead of
+    silently emitting all-NaN members (same rescue semantics as
+    ``StochasticKriging.solve`` / reference ``stochastic.py:459-499``).
     """
     cov = jnp.asarray(covariance)
     idx = jnp.asarray(idx)
@@ -425,6 +462,13 @@ def batched_ensemble_step(key, covariance, error_cov, idx, obs, n_members):
 
     L = draw_factor(cov)
     LE = draw_factor(E)
+    # ONE host sync resolves both NaN flags; the rescue (a full eigh)
+    # runs only for the factor that actually failed.
+    bad = np.asarray(jnp.stack([jnp.isnan(L[-1, -1]), jnp.isnan(LE[-1, -1])]))
+    if bad[0]:
+        L = eigen_repaired_factor(cov)
+    if bad[1]:
+        LE = eigen_repaired_factor(E)
 
     def one_member(k):
         k1, k2 = jax.random.split(k)

@@ -4,7 +4,9 @@
 orchestration must (a) emit a VALID JSON headline line as soon as the
 kriging number exists — the remote-compile/tunnel latency tail means an
 outer timeout can land at any point (a warm-cached kriging section was
-measured at 730 s wall) — (b) re-emit the accumulating line after every
+measured at 384 s wall, and one attempt was killed still unfinished
+past 10 min — the same observations docs/perf.md and CHANGES.md cite)
+— (b) re-emit the accumulating line after every
 section/extra, (c) degrade a failed or budget-expired section to a
 ``skipped`` entry instead of erasing the run. Sections are stubbed: this
 tests the flow, not the kernels (those have their own suites).
@@ -66,8 +68,11 @@ def test_failed_section_degrades_to_skipped(bench_mod, monkeypatch):
     docs = _run_main(bench_mod)
     last = docs[-1]
     assert last["value"] == 0.5  # headline survives the failure
-    assert "skipped" in last["ensemble_s"]
-    assert "RuntimeError" in last["ensemble_s"]["skipped"]
+    # type-stable degradation: numeric field -> null, reason on a
+    # sibling key (prior artifacts have numeric ensemble_s; a consumer
+    # doing arithmetic must see null, not a dict)
+    assert last["ensemble_s"] is None
+    assert "RuntimeError" in last["ensemble_skipped"]
 
 
 def test_budget_zero_skips_every_extra(bench_mod):
