@@ -1,0 +1,156 @@
+"""COMPILED-mode Pallas kernel parity on real TPU hardware.
+
+The CPU suite exercises the Pallas kernels in interpret mode
+(``ops/pallas/pairwise.py``); these tests pin the COMPILED Mosaic
+lowering against the XLA path on an actual chip, making kernel
+correctness a gating pytest check instead of a bench side-effect
+(VERDICT r3 weak #7). Because ``tests/conftest.py`` forces the CPU
+backend for the whole process (the oracle tests need f64), each test
+shells out to a fresh interpreter that keeps the ambient TPU backend.
+
+Opt-in: set ``GLOMAR_TPU_TESTS=1`` (the TPU is exclusive — these must
+not race a bench run). Run:
+
+    GLOMAR_TPU_TESTS=1 python -m pytest tests/test_tpu_compiled.py -v
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+pytestmark = [
+    pytest.mark.tpu,
+    pytest.mark.skipif(
+        os.environ.get("GLOMAR_TPU_TESTS") != "1",
+        reason="TPU compiled-kernel tests are opt-in "
+        "(GLOMAR_TPU_TESTS=1); the chip is exclusive",
+    ),
+]
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_on_tpu(script: str) -> str:
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # ambient default (axon TPU tunnel)
+    env["PYTHONPATH"] = (
+        _REPO + os.pathsep + env.get("PYTHONPATH", "")
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=560,
+        env=env,
+        cwd=_REPO,
+    )
+    out = proc.stdout + proc.stderr
+    if "NO_TPU" in out:
+        pytest.skip("no TPU backend available in subprocess")
+    assert proc.returncode == 0, out[-3000:]
+    assert "PARITY_OK" in out, out[-3000:]
+    return out
+
+
+_COMMON = """
+import numpy as np
+import jax, jax.numpy as jnp
+if jax.default_backend() != "tpu":
+    print("NO_TPU"); raise SystemExit(0)
+from glomargridding_tpu.config import enable_compile_cache
+enable_compile_cache()
+from glomargridding_tpu.ops.distances import sigma_rot_flat
+
+def params(n, seed=5):
+    rng = np.random.default_rng(seed)
+    glat = np.sort(rng.uniform(-75, 75, n)).astype(np.float32)
+    glon = rng.uniform(-180, 180, n).astype(np.float32)
+    la, lo = jnp.radians(jnp.asarray(glat)), jnp.radians(jnp.asarray(glon))
+    Lx = jnp.asarray(rng.uniform(800, 1600, n), jnp.float32)
+    Ly = jnp.asarray(rng.uniform(400, 900, n), jnp.float32)
+    th = jnp.asarray(rng.uniform(-0.6, 0.6, n), jnp.float32)
+    sd = jnp.asarray(rng.uniform(0.5, 1.5, n), jnp.float32)
+    s00, s01, _, s11 = sigma_rot_flat(Lx, Ly, th)
+    sig = jnp.stack([s00, s01, s11], axis=-1)
+    sqd = jnp.sqrt(s00 * s11 - s01 * s01)
+    return la, lo, sig, sqd, sd
+"""
+
+
+def test_compiled_ellipse_assembly_parity():
+    """Compiled Pallas assembly == XLA assembly at n=2048 (rel 1e-5)."""
+    _run_on_tpu(
+        _COMMON
+        + """
+from glomargridding_tpu.models.ellipse.covariance import (
+    build_ellipse_covariance,
+)
+la, lo, sig, sqd, sd = params(2048)
+a = build_ellipse_covariance(la, lo, sig, sqd, sd, v=1.5, use_pallas=True)
+b = build_ellipse_covariance(la, lo, sig, sqd, sd, v=1.5, use_pallas=False)
+err = float(jnp.max(jnp.abs(a - b))) / float(jnp.max(jnp.abs(b)))
+print("rel err:", err)
+assert err < 1e-5, err
+print("PARITY_OK")
+"""
+    )
+
+
+def test_compiled_matern_assembly_parity():
+    """Compiled Pallas stationary Matern == jnp haversine+Matern."""
+    _run_on_tpu(
+        _COMMON
+        + """
+from glomargridding_tpu.ops.pallas import matern_covariance_pallas
+from glomargridding_tpu.models.kernel_kriging import variogram_kernel
+from glomargridding_tpu.ops.variogram import MaternVariogram
+rng = np.random.default_rng(3)
+n = 1500
+glat = rng.uniform(-80, 80, n).astype(np.float32)
+glon = rng.uniform(-180, 180, n).astype(np.float32)
+a = matern_covariance_pallas(glat, glon, glat, glon,
+                             nu=1.5, psill=1.2, range_km=1500.0)
+k = variogram_kernel(
+    MaternVariogram(psill=1.2, range=1500.0, nu=1.5),
+    distance="haversine", variance=1.2,
+)
+b = k(jnp.radians(jnp.asarray(glat)), jnp.radians(jnp.asarray(glon)),
+      jnp.radians(jnp.asarray(glat)), jnp.radians(jnp.asarray(glon)))
+err = float(jnp.max(jnp.abs(a - b))) / float(jnp.max(jnp.abs(b)))
+print("rel err:", err)
+assert err < 2e-5, err
+print("PARITY_OK")
+"""
+    )
+
+
+def test_compiled_fused_matvec_parity():
+    """Compiled fused symmetric matvec == jnp banded stream, banded and
+    unbanded, through the public operator."""
+    _run_on_tpu(
+        _COMMON
+        + """
+from glomargridding_tpu.models.ellipse.covariance import (
+    ellipse_covariance_operator,
+)
+n = 8192
+la, lo, sig, sqd, sd = params(n)
+rng = np.random.default_rng(0)
+X = jnp.asarray(rng.normal(size=(n, 8)).astype(np.float32))
+X1 = jnp.asarray(rng.normal(size=(n, 64)).astype(np.float32))
+for md in (None, 3000.0):
+    mv, n_op, tr = ellipse_covariance_operator(
+        la, lo, sig, sqd, sd, v=1.5, store="stream", max_dist=md)
+    got = np.asarray(mv(X))            # fused Pallas path (w <= 8)
+    ref = np.asarray(mv(X1))[:, :0]    # force wide path compile too
+    wide = np.asarray(mv(jnp.concatenate(
+        [X, jnp.zeros((n, 56), jnp.float32)], axis=1)))[:, :8]
+    scale = np.abs(wide).max()
+    err = np.abs(got - wide).max() / scale
+    print("md", md, "rel err:", err)
+    assert err < 5e-5, (md, err)
+print("PARITY_OK")
+"""
+    )
