@@ -119,19 +119,26 @@ def ellipse_covariance_block(
     out = jnp.nan_to_num(out, nan=0.0, posinf=0.0, neginf=0.0)
 
     if use_max_dist:
-        # haversine cutoff
-        a = (
-            jnp.sin((la_i - la_j) / 2.0) ** 2
-            + jnp.cos(la_i)
-            * jnp.cos(la_j)
-            * jnp.sin((lo_i - lo_j) / 2.0) ** 2
+        # haversine cutoff with ZERO per-pair transcendentals:
+        # dist > max_dist <=> a > sin^2(max_dist / 2R) (asin is
+        # monotone), and a = (1 - cos dlat)/2 + cos cos (1 - cos
+        # dlon)/2 where both difference-cosines expand through
+        # per-POINT sines/cosines (cos(x - y) = cx cy + sx sy). The
+        # naive per-pair haversine nearly doubled the tile's
+        # transcendental wall (measured on v5e; the tile chain itself
+        # is one exp + one rsqrt per pair).
+        half = jnp.minimum(
+            max_dist / (2.0 * RADIUS_OF_EARTH_KM), 0.5 * math.pi
         )
-        dist = (
-            2.0
-            * RADIUS_OF_EARTH_KM
-            * jnp.arcsin(jnp.sqrt(jnp.clip(a, 0.0, 1.0)))
-        )
-        out = jnp.where(dist > max_dist, jnp.zeros_like(out), out)
+        a_thresh = jnp.sin(half) ** 2  # scalar, once per tile
+        cli, sli = jnp.cos(la_i), jnp.sin(la_i)
+        clj, slj = jnp.cos(la_j), jnp.sin(la_j)
+        cloi, sloi = jnp.cos(lo_i), jnp.sin(lo_i)
+        cloj, sloj = jnp.cos(lo_j), jnp.sin(lo_j)
+        cdlat = cli * clj + sli * slj
+        cdlon = cloi * cloj + sloi * sloj
+        a = 0.5 * (1.0 - cdlat) + (cli * clj) * (0.5 * (1.0 - cdlon))
+        out = jnp.where(a > a_thresh, jnp.zeros_like(out), out)
     return out.astype(dtype)
 
 
@@ -489,6 +496,20 @@ def ellipse_covariance_operator(
     transcendental assembly; use when even the bf16 store is too big
     (n >~ 120k on 16 GB).
 
+    With ``max_dist`` set, the stream is BANDED: a per-row-block
+    contiguous column window is derived from latitude-interval bounds
+    (central angle >= |dlat|, so any tile whose lat gap exceeds
+    max_dist/R is provably all-zero) and tiles outside the window are
+    never assembled. For lat-sorted point orders (the grid compression
+    order) this cuts the per-application transcendental work to the
+    band fraction — the dominant cost of the 259k-cell clip. Results
+    are EXACT vs the unbanded masked stream: omitted tiles contribute
+    exact zeros. Narrow applications (<= 8 columns) additionally route
+    through the fused symmetric Pallas kernel
+    (``ops.pallas.ellipse_matvec_pallas``) on TPU, which builds each
+    upper-triangle tile once in VMEM and applies both ``T @ x_J`` and
+    ``T' @ x_I`` — half the transcendental work, no tile HBM traffic.
+
     (Capability beyond reference ``ellipse/covariance.py``, which
     requires the dense matrix and stops at ~10k points.)
     """
@@ -542,10 +563,72 @@ def ellipse_covariance_operator(
     kparams = (v, delta_x_method, md, use_md)
 
     if store == "stream":
-        fn = _STREAM_MV_BY_KEY.setdefault(
-            (kparams, n), partial(_stream_apply_nd, kparams, n)
+        # Column-band plan: 256-granularity contiguous windows for the
+        # wide jnp path (grouped — see _operator_apply_stream_grouped)
+        # and TILE_P-granularity upper band limits for the fused Pallas
+        # matvec. One small host fetch of the latitudes; everything
+        # derived is static or a tiny int32 operand.
+        from ...ops.pallas.pairwise import TILE_P as _TP
+
+        n_cols_pad = -(-n // _TP) * _TP
+        np_blocks = n_cols_pad // _TP
+        lat_np = np.asarray(lats_rad, dtype=np.float64)
+        lat_pad_np = (
+            np.pad(lat_np, (0, pad), mode="edge") if pad else lat_np
         )
-        matvec = Matvec(fn, *rows, *cols, diag)
+        if use_md:
+            col_starts_np, bw, hi_np = _stream_band_plan(
+                lat_pad_np, lat_np, n, block, md, _STREAM_CHUNK, _TP
+            )
+        else:
+            col_starts_np = np.zeros(n_blocks, np.int32)
+            bw = n_cols_pad
+            hi_np = np.full(np_blocks, np_blocks - 1, np.int32)
+        bwu = int((hi_np - np.arange(np_blocks)).max() + 1)
+        # fused symmetric Pallas matvec for narrow x: TPU, half-integer
+        # v, and the (MV_W, n_pad) f32 VMEM accumulator must fit
+        use_fused = (
+            jax.default_backend() == "tpu"
+            and _is_half_integer(v)
+            and v <= 3.5
+            and n_cols_pad * 8 * 4 <= 9_000_000
+        )
+        # Group row blocks for the wide path: ONE column slice per
+        # group (not per row block — measured: per-row dynamic slices
+        # break XLA's assemble-into-matmul fusion and LOSE to the
+        # dense stream). G ~ 16 keeps slice overhead amortised while
+        # each group's window is band + group latitude span; G is
+        # re-derived from the rows-per-group so block-count padding
+        # wastes at most rpg - 1 blocks (naive ceil wasted 25% at 65k).
+        rpg = -(-n_blocks // min(n_blocks, 16))
+        G = -(-n_blocks // rpg)
+        nb_pad = G * rpg
+        gs, bwg = _group_windows(
+            col_starts_np, bw, n_blocks, nb_pad, G, rpg,
+            n_cols_pad, _STREAM_CHUNK,
+        )
+        rows_g = tuple(
+            _pad_blocks_to(a, nb_pad).reshape(
+                (G, rpg) + a.shape[1:]
+            )
+            for a in rows
+        )
+        banded = bwg < n_cols_pad
+        cpad = n_cols_pad - n
+        cols_p = tuple(_pad_edge(a, cpad) for a in cols)
+        key = (kparams, n, bwg, n_cols_pad, use_fused, bwu, banded)
+        fn = _STREAM_MV_BY_KEY.setdefault(
+            key,
+            partial(
+                _stream_apply_banded_nd,
+                kparams, n, bwg, n_cols_pad, use_fused, bwu, banded,
+            ),
+        )
+        matvec = Matvec(
+            fn, *rows_g, *cols_p, diag,
+            jnp.asarray(gs),
+            jnp.asarray(hi_np),
+        )
         return matvec, n, trace
 
     if store != "bf16":
@@ -637,3 +720,230 @@ def _operator_apply_stream(rows, cols, diag, x2, kparams, n):
     _, out = jax.lax.scan(per_block, None, rows)
     out = out.reshape(-1, x2.shape[1])[:n]
     return out + diag[:, None] * x2
+
+
+# ---------------------------------------------------------------------------
+# Banded stream + fused narrow-x Pallas path
+# ---------------------------------------------------------------------------
+_STREAM_CHUNK = 256
+
+
+def _pad_edge(a, pad):
+    if pad == 0:
+        return a
+    widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+    return jnp.pad(a, widths, mode="edge")
+
+
+def _stream_band_plan(
+    lat_pad_np, lat_np, n, block, max_dist_km, chunk, chunk_p
+):
+    """Column-band certificates from latitude intervals (host, numpy).
+
+    Central angle >= |dlat|, so haversine distance >= R |dlat|: any
+    (row-block, column-chunk) pair whose latitude-interval gap exceeds
+    max_dist / R contains ONLY entries the kernel's cutoff zeroes —
+    omitting those tiles is exact. Returns
+
+    - ``col_starts``: (n_blocks,) int32 element offsets of each row
+      block's contiguous column window (chunk-aligned),
+    - ``bw``: the static uniform window width (elements),
+    - ``hi``: (ceil(n / chunk_p),) int32 per-``chunk_p``-block UPPER
+      band limit (hi[i] >= i) for the symmetric fused Pallas matvec.
+
+    For lat-sorted point orders the windows are tight; for arbitrary
+    orders they are conservative supersets (still exact, just wider).
+    """
+    thresh = max_dist_km / RADIUS_OF_EARTH_KM
+    n_blocks = len(lat_pad_np) // block
+    rlat = lat_pad_np.reshape(n_blocks, block)
+    rmin, rmax = rlat.min(axis=1), rlat.max(axis=1)
+    n_chunks = -(-n // chunk)
+    cpad = n_chunks * chunk - n
+    clat = (
+        np.pad(lat_np, (0, cpad), mode="edge") if cpad else lat_np
+    ).reshape(n_chunks, chunk)
+    cmin, cmax = clat.min(axis=1), clat.max(axis=1)
+
+    gap = np.maximum(
+        0.0,
+        np.maximum(
+            rmin[:, None] - cmax[None, :], cmin[None, :] - rmax[:, None]
+        ),
+    )
+    active = gap <= thresh
+    # every row block overlaps at least one chunk (its own points), but
+    # guard degenerate masks anyway
+    has = active.any(axis=1)
+    first = np.where(has, np.argmax(active, axis=1), 0)
+    last = np.where(
+        has, n_chunks - 1 - np.argmax(active[:, ::-1], axis=1), 0
+    )
+    bw_chunks = int((last - first + 1).max())
+    start = np.minimum(first, n_chunks - bw_chunks).astype(np.int64)
+    col_starts = (start * chunk).astype(np.int32)
+
+    # chunk_p-granularity symmetric plan for the fused Pallas matvec:
+    # rows AND cols are the unpadded points in chunk_p blocks;
+    # hi[i] = last active j, floored at i (upper triangle only)
+    n_p = -(-n // chunk_p)
+    ppad = n_p * chunk_p - n
+    plat = (
+        np.pad(lat_np, (0, ppad), mode="edge") if ppad else lat_np
+    ).reshape(n_p, chunk_p)
+    pmin, pmax = plat.min(axis=1), plat.max(axis=1)
+    gap_p = np.maximum(
+        0.0,
+        np.maximum(
+            pmin[:, None] - pmax[None, :], pmin[None, :] - pmax[:, None]
+        ),
+    )
+    active_p = gap_p <= thresh
+    has_p = active_p.any(axis=1)
+    last_p = np.where(
+        has_p, n_p - 1 - np.argmax(active_p[:, ::-1], axis=1), 0
+    )
+    hi = np.maximum(last_p, np.arange(n_p)).astype(np.int32)
+    return col_starts, bw_chunks * chunk, hi
+
+
+def _group_windows(
+    col_starts, bw, n_blocks, nb_pad, G, rpg, n_cols_pad, chunk
+):
+    """One (start, width) column window per row-block GROUP.
+
+    The wide path slices the columns once per group (G ~ 16) instead of
+    once per row block: per-row dynamic slices break XLA's
+    assemble-into-matmul fusion (measured SLOWER than the dense
+    stream), while per-group slices are amortised over rpg row blocks
+    and the window only grows by the group's latitude span. Returns
+    ((G,) int32 starts, uniform width bwg).
+    """
+    cs = np.asarray(col_starts, np.int64)
+    if nb_pad > n_blocks:  # padding blocks repeat the last real block
+        cs = np.concatenate(
+            [cs, np.full(nb_pad - n_blocks, cs[-1], np.int64)]
+        )
+    cs = cs.reshape(G, rpg)
+    gs = cs.min(axis=1)
+    gend = (cs + bw).max(axis=1)
+    bwg = int((gend - gs).max())
+    bwg = min(-(-bwg // chunk) * chunk, n_cols_pad)
+    gs = np.minimum(gs, n_cols_pad - bwg).astype(np.int32)
+    return gs, bwg
+
+
+def _pad_blocks_to(a, nb_pad):
+    """Pad a (n_blocks, block, ...) stack to nb_pad blocks by repeating
+    the last block (its outputs land past n and are discarded)."""
+    extra = nb_pad - a.shape[0]
+    if extra == 0:
+        return a
+    return jnp.concatenate(
+        [a, jnp.broadcast_to(a[-1:], (extra,) + a.shape[1:])], axis=0
+    )
+
+
+def _stream_apply_banded_nd(
+    kparams, n, bwg, n_cols_pad, use_fused, bwu, banded, *args
+):
+    """ndim-polymorphic banded streamed application (``Matvec`` fn).
+
+    Narrow x (<= 8 columns) routes through the fused symmetric Pallas
+    kernel when available; wide blocks (the clip's CholQR sweeps) take
+    the GROUP-banded ``lax.scan`` stream (dense stream when the band
+    plan could not narrow the window). All paths honour the same
+    latitude-gap band certificates, so results match the dense masked
+    stream exactly (omitted tiles are exact zeros).
+    """
+    *arrs, x = args
+    rows_g = tuple(arrs[:5])
+    cols_p = tuple(arrs[5:10])
+    diag = arrs[10]
+    gstarts = arrs[11]
+    hi_blocks = arrs[12]
+    x2 = x if x.ndim == 2 else x[:, None]
+    if use_fused and x2.shape[1] <= 8:
+        out = _apply_fused_pallas(
+            cols_p, diag, x2.astype(jnp.float32), hi_blocks,
+            kparams, n, n_cols_pad, bwu,
+        )
+    elif banded:
+        out = _operator_apply_stream_grouped(
+            rows_g, cols_p, diag, x2.astype(jnp.float32), gstarts,
+            kparams, n, bwg, n_cols_pad,
+        )
+    else:
+        rows = tuple(
+            a.reshape((-1,) + a.shape[2:]) for a in rows_g
+        )
+        out = _operator_apply_stream(
+            rows,
+            tuple(c[:n] for c in cols_p),
+            diag, x2.astype(jnp.float32), kparams, n,
+        )
+    return out if x.ndim == 2 else out[:, 0]
+
+
+@partial(
+    jax.jit, static_argnames=("kparams", "n", "bwg", "n_cols_pad")
+)
+def _operator_apply_stream_grouped(
+    rows_g, cols_p, diag, x2, gstarts, kparams, n, bwg, n_cols_pad
+):
+    """Group-banded stream: slice the column window ONCE per group,
+    then run the same fused assemble-into-matmul scan as the dense
+    stream over the group's row blocks. The slice cost is amortised
+    over rpg row blocks, so XLA's producer fusion (the thing that puts
+    the dense stream at the VPU pairs/s roofline) is preserved while
+    the per-pair work drops to the band fraction."""
+    xp = (
+        jnp.pad(x2, ((0, n_cols_pad - n), (0, 0)))
+        if n_cols_pad != n
+        else x2
+    )
+
+    def per_group(_, ginputs):
+        *grows, gs = ginputs
+        cols_sl = tuple(
+            jax.lax.dynamic_slice_in_dim(c, gs, bwg, axis=0)
+            for c in cols_p
+        )
+        x_sl = jax.lax.dynamic_slice(
+            xp, (gs, jnp.zeros((), gs.dtype)), (bwg, xp.shape[1])
+        )
+
+        def per_row(_, row_in):
+            return None, _op_tile(tuple(row_in), cols_sl, kparams) @ x_sl
+
+        _, yg = jax.lax.scan(per_row, None, tuple(grows))
+        return None, yg
+
+    _, out = jax.lax.scan(per_group, None, (*rows_g, gstarts))
+    out = out.reshape(-1, x2.shape[1])[:n]
+    return out + diag[:, None] * x2
+
+
+@partial(
+    jax.jit, static_argnames=("kparams", "n", "n_cols_pad", "bwu")
+)
+def _apply_fused_pallas(
+    cols_p, diag, x2, hi_blocks, kparams, n, n_cols_pad, bwu
+):
+    from ...ops.pallas import ellipse_matvec_pallas
+
+    v, delta_x_method, md, use_md = kparams
+    la, lo, sig, sd, sg = cols_p
+    xp = (
+        jnp.pad(x2, ((0, n_cols_pad - n), (0, 0)))
+        if n_cols_pad != n
+        else x2
+    )
+    y = ellipse_matvec_pallas(
+        la, lo, sig, sd, sg, xp, hi_blocks,
+        v=v,
+        delta_x_method=delta_x_method,
+        max_dist=md if use_md else 0.0,
+        bwu=bwu,
+    )
+    return y[:n] + diag[:, None] * x2

@@ -2,12 +2,14 @@
 
 from .pairwise import (
     ellipse_covariance_pallas,
+    ellipse_matvec_pallas,
     matern_covariance_pallas,
     pallas_supported,
 )
 
 __all__ = [
     "ellipse_covariance_pallas",
+    "ellipse_matvec_pallas",
     "matern_covariance_pallas",
     "pallas_supported",
 ]

@@ -185,17 +185,23 @@ def matern_covariance_pallas(
 # ===========================================================================
 # Non-stationary (Paciorek-Schervish ellipse) covariance tile kernel
 # ===========================================================================
-def _ellipse_kernel_body(
-    la_i_ref, lo_i_ref, s00_i_ref, s01_i_ref, s11_i_ref, sd_i_ref, sg_i_ref,
-    la_j_ref, lo_j_ref, s00_j_ref, s01_j_ref, s11_j_ref, sd_j_ref, sg_j_ref,
-    out_ref,
+def _ellipse_tile_value(
+    la_i, lo_i, s00_i, s01_i, s11_i, sd_i, sg_i,
+    la_j, lo_j, s00_j, s01_j, s11_j, sd_j, sg_j,
     *, nu, sqrt_v2, modified, radius, max_dist,
 ):
-    la_i = la_i_ref[:]
-    lo_i = lo_i_ref[:]
-    la_j = la_j_ref[:]
-    lo_j = lo_j_ref[:]
+    """One PS06 tile from (TM, 1) row strips x (1, TN) col strips.
 
+    Shared by the assembly kernel and the fused matvec kernel. The
+    closed-form correlation _matern_halfint_corr(inner) equals
+    inner^v K_v(inner) / (Gamma(v) 2^{v-1}), so c_ij reduces to
+    stdev_i stdev_j * sqrt(det ratio) * corr — no explicit gamma
+    term. One rsqrt supplies both 1/sqrt(det_bar) and 1/det_bar
+    (= rsqrt^2), replacing a pairwise ratio-sqrt and two divides —
+    the tile is VPU-transcendental-bound (docs/perf.md), so per-pair
+    slow-op count is the wall. Self-pairs (zero displacement) are
+    zeroed: builders add diag(stdev^2) separately.
+    """
     dy = la_i - la_j
     dx = lo_i - lo_j
     dx = jnp.where(dx > math.pi, dx - _TWO_PI, dx)
@@ -205,22 +211,15 @@ def _ellipse_kernel_body(
     dy = radius * dy
     dx = radius * dx
 
-    s00 = 0.5 * (s00_i_ref[:] + s00_j_ref[:])
-    s01 = 0.5 * (s01_i_ref[:] + s01_j_ref[:])
-    s11 = 0.5 * (s11_i_ref[:] + s11_j_ref[:])
+    s00 = 0.5 * (s00_i + s00_j)
+    s01 = 0.5 * (s01_i + s01_j)
+    s11 = 0.5 * (s11_i + s11_j)
     det_bar = s00 * s11 - s01 * s01
 
-    # The closed-form correlation _matern_halfint_corr(inner) equals
-    # inner^v K_v(inner) / (Gamma(v) 2^{v-1}), so c_ij reduces to
-    # stdev_i stdev_j * sqrt(det ratio) * corr — no explicit gamma
-    # term. One rsqrt supplies both 1/sqrt(det_bar) and 1/det_bar
-    # (= rsqrt^2), replacing a pairwise ratio-sqrt and two divides —
-    # the tile is VPU-transcendental-bound (docs/perf.md), so per-pair
-    # slow-op count is the wall.
     r_det = jax.lax.rsqrt(det_bar)
     # per-point strip sqrts ((TM,1)/(1,TN)), not a pairwise sqrt
-    amp_i = sg_i_ref[:] * jnp.sqrt(sd_i_ref[:])
-    amp_j = sg_j_ref[:] * jnp.sqrt(sd_j_ref[:])
+    amp_i = sg_i * jnp.sqrt(sd_i)
+    amp_j = sg_j * jnp.sqrt(sd_j)
     pref = (amp_i * amp_j) * r_det
 
     quad = (
@@ -230,19 +229,41 @@ def _ellipse_kernel_body(
     inner = sqrt_v2 * tau
     corr = _matern_halfint_corr(inner, nu)
     val = pref * corr
-    # Zero the self-pair: the builder adds the diag(stdev^2) separately.
     out = jnp.where(inner > 0.0, val, jnp.zeros_like(val))
 
     if max_dist > 0.0:
-        sdlat = jnp.sin((la_i - la_j) / 2.0)
-        sdlon = jnp.sin((lo_i - lo_j) / 2.0)
-        a = sdlat * sdlat + jnp.cos(la_i) * jnp.cos(la_j) * sdlon * sdlon
-        dist = (2.0 * radius) * _asin_poly(
-            jnp.sqrt(jnp.clip(a, 0.0, 1.0))
-        )
-        out = jnp.where(dist > max_dist, jnp.zeros_like(out), out)
+        # cutoff with ZERO per-pair transcendentals, mirroring the jnp
+        # tile exactly: a > sin^2(max_dist / 2R) in haversine-a space,
+        # with both difference-cosines expanded through per-POINT
+        # (strip) sines/cosines — the naive per-pair haversine nearly
+        # doubled the tile's transcendental wall (measured on v5e)
+        half = min(max_dist / (2.0 * radius), 0.5 * math.pi)
+        a_thresh = math.sin(half) ** 2
+        cli, sli = jnp.cos(la_i), jnp.sin(la_i)
+        clj, slj = jnp.cos(la_j), jnp.sin(la_j)
+        cloi, sloi = jnp.cos(lo_i), jnp.sin(lo_i)
+        cloj, sloj = jnp.cos(lo_j), jnp.sin(lo_j)
+        cdlat = cli * clj + sli * slj
+        cdlon = cloi * cloj + sloi * sloj
+        a = 0.5 * (1.0 - cdlat) + (cli * clj) * (0.5 * (1.0 - cdlon))
+        out = jnp.where(a > a_thresh, jnp.zeros_like(out), out)
+    return out
 
-    out_ref[:] = out
+
+def _ellipse_kernel_body(
+    la_i_ref, lo_i_ref, s00_i_ref, s01_i_ref, s11_i_ref, sd_i_ref, sg_i_ref,
+    la_j_ref, lo_j_ref, s00_j_ref, s01_j_ref, s11_j_ref, sd_j_ref, sg_j_ref,
+    out_ref,
+    *, nu, sqrt_v2, modified, radius, max_dist,
+):
+    out_ref[:] = _ellipse_tile_value(
+        la_i_ref[:], lo_i_ref[:], s00_i_ref[:], s01_i_ref[:],
+        s11_i_ref[:], sd_i_ref[:], sg_i_ref[:],
+        la_j_ref[:], lo_j_ref[:], s00_j_ref[:], s01_j_ref[:],
+        s11_j_ref[:], sd_j_ref[:], sg_j_ref[:],
+        nu=nu, sqrt_v2=sqrt_v2, modified=modified,
+        radius=radius, max_dist=max_dist,
+    )
 
 
 @partial(
@@ -320,3 +341,214 @@ def ellipse_covariance_pallas(
     )(*rows, *cols)
     out = out[:n_orig, :n_orig]
     return out + jnp.diag(jnp.asarray(stdevs, dtype) ** 2)
+
+
+# ===========================================================================
+# Fused symmetric assemble-and-multiply matvec (narrow x)
+# ===========================================================================
+# y = C_ns @ x for x with <= MV_W columns, never materialising any tile
+# in HBM and building each UPPER-TRIANGLE tile ONCE: the same VMEM tile
+# serves y_I += T @ x_J and y_J += T' @ x_I — HALF the transcendental
+# producer work of the row-streamed jnp path (the sweep's wall,
+# docs/perf.md) plus zero tile HBM traffic. The y accumulator lives
+# TRANSPOSED, (MV_W, n_pad) f32, in persistent VMEM scratch (lane-packed;
+# an (n, 8) layout would waste 15/16 of the lanes), so the kernel is
+# bounded to n_pad <= ~280k at MV_W = 8. Wide applications (the clip's
+# CholQR blocks) stay on the jnp streamed path: bounding this kernel's
+# VMEM working set at large widths forces tile rebuilds that erase the
+# symmetric saving (measured in round 3, docs/perf.md).
+#
+# Per-cell overhead engineering (measured on v5e): a first cut with 14
+# separate (TILE, 1)/(1, TILE) parameter strips and 256^2 tiles spent
+# ~4-6 us/cell on DMA issue — 0.9 s of pure overhead at 259k banded,
+# erasing the symmetric saving. This version packs the seven per-point
+# parameters into ONE (n_pad, 8) row array and ONE pre-transposed
+# (8, n_pad) column array (4 input DMAs per cell instead of 16) and
+# uses 512^2 tiles (4x fewer cells).
+#
+# Grid: (n_blocks, bwu) where cell (i, d) handles block pair
+# (i, j = i + d); a prefetched per-row band limit hi[i] (from the same
+# latitude-gap certificate as the banded jnp stream) skips provably-zero
+# tiles beyond the haversine cutoff. Output block i is written at every
+# (i, *) cell and is complete at the last one: all (k < i, d) cells —
+# the transpose contributions INTO row i — precede row i's cells in the
+# row-major grid order, and Pallas flushes an output block only when its
+# index changes.
+MV_W = 8
+TILE_P = 512
+
+
+def _ellipse_matvec_body(
+    hi_ref,
+    p_row_ref,   # (TILE_P, 8): la, lo, s00, s01, s11, sd, sg, 0
+    p_col_ref,   # (8, TILE_P): same, pre-transposed
+    xT_j_ref,    # (MV_W, TILE_P)
+    xT_i_ref,    # (MV_W, TILE_P)
+    out_ref,     # (MV_W, TILE_P)
+    y_acc,       # scratch (MV_W, n_pad)
+    *, nu, sqrt_v2, modified, radius, max_dist,
+):
+    i = pl.program_id(0)
+    d = pl.program_id(1)
+    nb = pl.num_programs(0)
+    j = jnp.minimum(i + d, nb - 1)
+
+    @pl.when((i == 0) & (d == 0))
+    def _():
+        y_acc[:] = jnp.zeros_like(y_acc)
+
+    @pl.when(i + d <= hi_ref[i])
+    def _():
+        P = p_row_ref[:]
+        Q = p_col_ref[:]
+        tile = _ellipse_tile_value(
+            P[:, 0:1], P[:, 1:2], P[:, 2:3], P[:, 3:4], P[:, 4:5],
+            P[:, 5:6], P[:, 6:7],
+            Q[0:1, :], Q[1:2, :], Q[2:3, :], Q[3:4, :], Q[4:5, :],
+            Q[5:6, :], Q[6:7, :],
+            nu=nu, sqrt_v2=sqrt_v2, modified=modified,
+            radius=radius, max_dist=max_dist,
+        )
+        # y_I += T @ x_J, accumulated transposed: (W, TJ) x (TI, TJ)^T
+        contrib_i = jax.lax.dot_general(
+            xT_j_ref[:], tile,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        off_i = pl.multiple_of(i * TILE_P, TILE_P)
+        y_acc[:, pl.ds(off_i, TILE_P)] += contrib_i
+
+        @pl.when(d > 0)
+        def _():
+            # y_J += T' @ x_I: (W, TI) x (TI, TJ) — the SAME tile,
+            # no rebuild (the symmetric saving)
+            contrib_j = jax.lax.dot_general(
+                xT_i_ref[:], tile,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            off_j = pl.multiple_of(j * TILE_P, TILE_P)
+            y_acc[:, pl.ds(off_j, TILE_P)] += contrib_j
+
+    off = pl.multiple_of(i * TILE_P, TILE_P)
+    out_ref[:] = y_acc[:, pl.ds(off, TILE_P)]
+
+
+@partial(
+    jax.jit,
+    static_argnames=("v", "delta_x_method", "max_dist", "bwu"),
+)
+def ellipse_matvec_pallas(
+    lats_rad,
+    lons_rad,
+    sig_flat,
+    sqrt_dets,
+    stdevs,
+    x,
+    hi_blocks,
+    v: float = 0.5,
+    delta_x_method: str = "Modified_Met_Office",
+    max_dist: float = 0.0,
+    bwu: int | None = None,
+):
+    """y = C_ns @ x (no diagonal) via the fused symmetric kernel.
+
+    Parameter arrays must already be padded to a TILE_P multiple (the
+    stream operator's padded column arrays); `x` is (n_pad, w) with
+    w <= MV_W (zero rows for padding). `hi_blocks` is the (n_blocks,)
+    int32 per-row upper band limit at TILE_P granularity (>= i;
+    n_blocks - 1 disables banding), `bwu` the static max of
+    hi_blocks[i] - i + 1. Half-integer v only. Returns (n_pad, w); the
+    caller slices to n and adds diag(stdev^2) @ x.
+    """
+    if abs(2 * v - round(2 * v)) > 1e-12 or round(2 * v) % 2 == 0:
+        raise ValueError(
+            "pallas ellipse matvec supports half-integer v only"
+        )
+    dtype = jnp.float32
+    n_pad = jnp.asarray(lats_rad).shape[0]
+    if n_pad % TILE_P:
+        raise ValueError(f"inputs must be padded to {TILE_P} multiples")
+    nb = n_pad // TILE_P
+    if bwu is None:
+        bwu = nb
+    w = x.shape[1]
+    if w > MV_W:
+        raise ValueError(f"fused matvec is for <= {MV_W} columns, got {w}")
+    xT = jnp.zeros((MV_W, n_pad), dtype).at[:w, :].set(
+        jnp.asarray(x, dtype).T
+    )
+
+    # pack the seven per-point parameters once: (n_pad, 8) row-major
+    # and its (8, n_pad) transpose for the column strips
+    P = jnp.stack(
+        [
+            jnp.asarray(lats_rad, dtype),
+            jnp.asarray(lons_rad, dtype),
+            jnp.asarray(sig_flat[:, 0], dtype),
+            jnp.asarray(sig_flat[:, 1], dtype),
+            jnp.asarray(sig_flat[:, 2], dtype),
+            jnp.asarray(sqrt_dets, dtype),
+            jnp.asarray(stdevs, dtype),
+            jnp.zeros((n_pad,), dtype),
+        ],
+        axis=-1,
+    )
+    PT = P.T
+
+    body = partial(
+        _ellipse_matvec_body,
+        nu=v,
+        sqrt_v2=2.0 * math.sqrt(v),
+        modified=(delta_x_method == "Modified_Met_Office"),
+        radius=RADIUS_OF_EARTH_KM,
+        max_dist=float(max_dist),
+    )
+
+    def _col(i, d, hi):
+        return (0, jnp.minimum(i + d, nb - 1))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb, int(bwu)),
+        in_specs=[
+            pl.BlockSpec(
+                (TILE_P, 8), lambda i, d, hi: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (8, TILE_P), _col, memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (MV_W, TILE_P), _col, memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (MV_W, TILE_P), lambda i, d, hi: (0, i),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (MV_W, TILE_P), lambda i, d, hi: (0, i),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.VMEM((MV_W, n_pad), jnp.float32)],
+    )
+    try:
+        # 40 MB scoped VMEM: the (MV_W, n_pad) accumulator is 8.3 MB at
+        # 259k and the banded tile chain holds ~10 live 512^2 f32
+        # intermediates — the default 16 MB scoped limit OOMs there
+        # (measured); v5e has 128 MB physical VMEM.
+        cparams = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=40 * 1024 * 1024,
+        )
+    except TypeError:  # older CompilerParams signature
+        cparams = None
+    yT = pl.pallas_call(
+        body,
+        out_shape=jax.ShapeDtypeStruct((MV_W, n_pad), dtype),
+        grid_spec=grid_spec,
+        compiler_params=cparams,
+        interpret=_interpret(),
+    )(jnp.asarray(hi_blocks, jnp.int32), P, PT, xT, xT)
+    return yT[:w, :].T

@@ -1268,3 +1268,171 @@ def test_checkpoint_corrupt_fingerprint_refuses(rng, tmp_path):
             checkpoint=ckpt,
         )
     assert os.path.exists(ckpt)  # file untouched
+
+
+def test_banded_stream_operator_exact_vs_dense(rng):
+    """With max_dist set, the stream operator skips provably-zero tiles
+    via latitude-gap certificates; results must be EXACT vs the dense
+    masked covariance (omitted tiles are exact zeros)."""
+    import jax.numpy as jnp
+
+    from glomargridding_tpu.models.ellipse.covariance import (
+        build_ellipse_covariance,
+        ellipse_covariance_operator,
+    )
+    from glomargridding_tpu.ops.distances import sigma_rot_flat
+
+    n = 700
+    # lat-SORTED points (the grid compression order) so banding bites
+    lats_deg = np.sort(rng.uniform(-75, 75, n)).astype(np.float32)
+    lons_deg = rng.uniform(-180, 180, n).astype(np.float32)
+    lats = jnp.radians(jnp.asarray(lats_deg))
+    lons = jnp.radians(jnp.asarray(lons_deg))
+    Lx = jnp.asarray(rng.uniform(800, 1600, n), jnp.float32)
+    Ly = jnp.asarray(rng.uniform(400, 900, n), jnp.float32)
+    th = jnp.asarray(rng.uniform(-0.6, 0.6, n), jnp.float32)
+    sd = jnp.asarray(rng.uniform(0.5, 1.5, n), jnp.float32)
+    s00, s01, _, s11 = sigma_rot_flat(Lx, Ly, th)
+    sig = jnp.stack([s00, s01, s11], axis=-1)
+    sqd = jnp.sqrt(s00 * s11 - s01 * s01)
+
+    max_dist = 2500.0
+    dense = np.asarray(
+        build_ellipse_covariance(
+            lats, lons, sig, sqd, sd, v=1.5,
+            max_dist=max_dist, use_pallas=False,
+        ),
+        dtype=np.float64,
+    )
+    X = rng.normal(size=(n, 5)).astype(np.float32)
+
+    mv, n_out, trace = ellipse_covariance_operator(
+        lats, lons, sig, sqd, sd, v=1.5,
+        store="stream", max_dist=max_dist, n_blocks=6,
+    )
+    got = np.asarray(mv(jnp.asarray(X)))
+    np.testing.assert_allclose(got, dense @ X, rtol=2e-4, atol=2e-4)
+    got1 = np.asarray(mv(jnp.asarray(X[:, 0])))
+    np.testing.assert_allclose(
+        got1, dense @ X[:, 0], rtol=2e-4, atol=2e-4
+    )
+    # (window NARROWING at production sizes is asserted in
+    # test_band_plan_certificates — at n=700 a 256-element chunk spans
+    # ~55 degrees of latitude, so the plan legitimately keeps all
+    # chunks active here)
+
+
+def test_band_plan_certificates(rng):
+    """The latitude-gap band plan: windows cover every pair within the
+    cutoff, hi is upper-triangular and >= the diagonal."""
+    from glomargridding_tpu.constants import RADIUS_OF_EARTH_KM
+    from glomargridding_tpu.models.ellipse.covariance import (
+        _stream_band_plan,
+    )
+
+    n, block, chunk, chunk_p = 6000, 512, 256, 512
+    lat = np.sort(rng.uniform(-1.2, 1.2, n))  # radians
+    pad = (-n) % block
+    lat_pad = np.pad(lat, (0, pad), mode="edge")
+    md = 800.0
+    col_starts, bw, hi = _stream_band_plan(
+        lat_pad, lat, n, block, md, chunk, chunk_p
+    )
+    n_blocks = len(lat_pad) // block
+    assert col_starts.shape == (n_blocks,)
+    n_p = -(-n // chunk_p)
+    assert hi.shape == (n_p,)
+    assert (hi >= np.arange(n_p)).all()
+    assert (hi <= n_p - 1).all()
+    # at this density the window must actually narrow (that is the
+    # whole point of the plan)
+    assert bw < n // 2, bw
+    assert (hi - np.arange(n_p)).max() + 1 < n_p
+
+    thresh = md / RADIUS_OF_EARTH_KM
+    # brute-force: every (row point, col point) pair within the cutoff
+    # must fall inside its row block's column window
+    for b in range(n_blocks):
+        rows = lat_pad[b * block : (b + 1) * block]
+        close = np.abs(rows[:, None] - lat[None, :]) <= thresh
+        cols_needed = np.where(close.any(axis=0))[0]
+        if len(cols_needed):
+            assert cols_needed.min() >= 0
+            assert cols_needed.min() >= col_starts[b] or (
+                col_starts[b] == 0
+            )
+            assert cols_needed.max() < col_starts[b] + bw
+    # hi certificate at chunk_p granularity
+    ppad = n_p * chunk_p - n
+    latp = np.pad(lat, (0, ppad), mode="edge").reshape(n_p, chunk_p)
+    for i in range(n_p):
+        for j in range(i, n_p):
+            gap = max(0.0, latp[j].min() - latp[i].max())
+            if gap <= thresh:
+                assert hi[i] >= j, (i, j)
+
+
+def test_ellipse_matvec_pallas_interpret(rng):
+    """The fused symmetric Pallas matvec (interpret mode off-TPU) ==
+    dense covariance product, banded and unbanded."""
+    import jax.numpy as jnp
+
+    from glomargridding_tpu.models.ellipse.covariance import (
+        _stream_band_plan,
+        build_ellipse_covariance,
+    )
+    from glomargridding_tpu.ops.distances import sigma_rot_flat
+    from glomargridding_tpu.ops.pallas import ellipse_matvec_pallas
+    from glomargridding_tpu.ops.pallas.pairwise import TILE_P
+
+    n = 1300
+    lats_deg = np.sort(rng.uniform(-70, 70, n)).astype(np.float32)
+    lons_deg = rng.uniform(-180, 180, n).astype(np.float32)
+    lats = jnp.radians(jnp.asarray(lats_deg))
+    lons = jnp.radians(jnp.asarray(lons_deg))
+    Lx = jnp.asarray(rng.uniform(900, 1800, n), jnp.float32)
+    Ly = jnp.asarray(rng.uniform(500, 900, n), jnp.float32)
+    th = jnp.asarray(rng.uniform(-0.5, 0.5, n), jnp.float32)
+    sd = jnp.asarray(rng.uniform(0.5, 1.5, n), jnp.float32)
+    s00, s01, _, s11 = sigma_rot_flat(Lx, Ly, th)
+    sig = jnp.stack([s00, s01, s11], axis=-1)
+    sqd = jnp.sqrt(s00 * s11 - s01 * s01)
+
+    n_p = -(-n // TILE_P)
+    n_pad = n_p * TILE_P
+    cpad = n_pad - n
+
+    def padded(a):
+        widths = [(0, cpad)] + [(0, 0)] * (a.ndim - 1)
+        return jnp.pad(a, widths, mode="edge")
+
+    X = rng.normal(size=(n, 3)).astype(np.float32)
+    Xp = jnp.pad(jnp.asarray(X), ((0, cpad), (0, 0)))
+
+    for max_dist in (None, 2500.0):
+        dense = np.asarray(
+            build_ellipse_covariance(
+                lats, lons, sig, sqd, sd, v=1.5,
+                max_dist=max_dist, use_pallas=False,
+            ),
+            dtype=np.float64,
+        )
+        md = 0.0 if max_dist is None else max_dist
+        if max_dist is None:
+            hi = np.full(n_p, n_p - 1, np.int32)
+        else:
+            lat_np = np.asarray(lats, np.float64)
+            _, _, hi = _stream_band_plan(
+                np.pad(lat_np, (0, cpad), mode="edge"),
+                lat_np, n, TILE_P, md, 256, TILE_P,
+            )
+        bwu = int((hi - np.arange(n_p)).max() + 1)
+        y = ellipse_matvec_pallas(
+            padded(lats), padded(lons), padded(sig),
+            padded(sqd), padded(sd), Xp, jnp.asarray(hi),
+            v=1.5, max_dist=md, bwu=bwu,
+        )
+        got = np.asarray(y[:n]) + np.asarray(sd)[:, None] ** 2 * X
+        want = dense @ X
+        scale = np.abs(want).max()
+        assert np.abs(got - want).max() / scale < 1e-4, max_dist
