@@ -269,6 +269,73 @@ def run(esa_lat_band=None, nm_tol=1e-3, chunk_size=2048):
     return results
 
 
+def save_outputs(out, out_dir):
+    """Store the executed pipeline's fields as documentation-of-record
+    (the reference ships its executed notebook with stored outputs;
+    ``examples/outputs/`` is this repo's equivalent): a small .npz of
+    every field plus a rendered 4-panel figure."""
+    os.makedirs(out_dir, exist_ok=True)
+    arrays = {
+        k: np.asarray(v)
+        for k, v in out.items()
+        if k != "ellipse_params"
+    }
+    for name in ("Lx", "Ly", "theta", "standard_deviation"):
+        arrays[f"ellipse_{name}"] = out["ellipse_params"][name].values
+    np.savez_compressed(
+        os.path.join(out_dir, "hadsst_workflow_fields.npz"), **arrays
+    )
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    lats = np.arange(-87.5, 90, 5.0)
+    lons = np.arange(-177.5, 180, 5.0)
+    panels = [
+        ("anom_stat", "Kriged anomaly (stationary)", "RdBu_r", True),
+        (
+            "anom_non_stat",
+            "Kriged anomaly (non-stationary ellipse)",
+            "RdBu_r",
+            True,
+        ),
+        ("uncert_non_stat", "Kriging uncertainty", "Blues", False),
+        (
+            "perturbed_anom",
+            "Perturbed ensemble member",
+            "RdBu_r",
+            True,
+        ),
+    ]
+    fig, axes = plt.subplots(2, 2, figsize=(11, 6), dpi=110)
+    for ax, (key, title, cmap, centered) in zip(axes.ravel(), panels):
+        if key not in out:
+            ax.set_axis_off()
+            continue
+        f = np.asarray(out[key]).reshape(len(lats), len(lons))
+        if centered:
+            vmax = np.nanpercentile(np.abs(f), 99)
+            kw = dict(vmin=-vmax, vmax=vmax)
+        else:
+            kw = dict(vmin=0.0)
+        im = ax.pcolormesh(lons, lats, f, cmap=cmap, **kw)
+        ax.set_title(title, fontsize=10, color="#333")
+        ax.tick_params(labelsize=7, colors="#666")
+        fig.colorbar(im, ax=ax, shrink=0.85).ax.tick_params(
+            labelsize=7, colors="#666"
+        )
+    fig.suptitle(
+        "HadSST4 / HadCRUT5 workflow, March 2014, 5-degree grid "
+        "(executed on one TPU v5e)",
+        fontsize=11,
+    )
+    fig.tight_layout()
+    fig.savefig(os.path.join(out_dir, "hadsst_workflow.png"))
+    print(f"outputs stored in {out_dir}")
+
+
 if __name__ == "__main__":
     out = run()
     field = out["anom_stat"]
@@ -280,3 +347,6 @@ if __name__ == "__main__":
     if "perturbed_anom" in out:
         p = out["perturbed_anom"]
         print(f"perturbed member rms {np.sqrt((p**2).mean()):.3f}")
+    out_dir = os.environ.get("GLOMAR_SAVE_OUTPUTS")
+    if out_dir:
+        save_outputs(out, out_dir)

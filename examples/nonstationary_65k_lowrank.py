@@ -142,6 +142,63 @@ def main():
         f" mean kriging uncertainty {float(res.uncertainty.mean()):.3f}"
     )
 
+    out_dir = os.environ.get("GLOMAR_SAVE_OUTPUTS")
+    if out_dir:
+        save_outputs(
+            out_dir,
+            field=np.asarray(res.field, np.float32),
+            uncertainty=np.asarray(res.uncertainty, np.float32),
+            member0=np.asarray(members[0], np.float32),
+            truth=np.asarray(truth, np.float32),
+            clip_gains=np.asarray(psd.gains, np.float32),
+        )
+
+
+def save_outputs(out_dir, **arrays):
+    """Documentation-of-record: stored fields + rendered figure of the
+    executed 65k run (the analog of the reference's executed notebook
+    outputs, ``notebooks/Ellipse_to_grid.ipynb``)."""
+    os.makedirs(out_dir, exist_ok=True)
+    np.savez_compressed(
+        os.path.join(out_dir, "nonstationary_65k_fields.npz"), **arrays
+    )
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    lat = np.arange(-89.5, 90.0, 180.0 / M_LAT)
+    lon = np.arange(-179.5, 180.0, 360.0 / M_LON)
+    panels = [
+        ("truth", "Model-drawn truth", "RdBu_r", True),
+        ("field", "Kriged field (100k-rank-free factors)", "RdBu_r",
+         True),
+        ("uncertainty", "Kriging uncertainty", "Blues", False),
+        ("member0", "Ensemble member 0", "RdBu_r", True),
+    ]
+    fig, axes = plt.subplots(2, 2, figsize=(11, 6), dpi=110)
+    for ax, (key, title, cmap, centered) in zip(axes.ravel(), panels):
+        f = arrays[key].reshape(M_LAT, M_LON)
+        if centered:
+            vmax = np.nanpercentile(np.abs(f), 99)
+            kw = dict(vmin=-vmax, vmax=vmax)
+        else:
+            kw = dict(vmin=0.0)
+        im = ax.pcolormesh(lon, lat, f, cmap=cmap, **kw)
+        ax.set_title(title, fontsize=10, color="#333")
+        ax.tick_params(labelsize=7, colors="#666")
+        fig.colorbar(im, ax=ax, shrink=0.85).ax.tick_params(
+            labelsize=7, colors="#666"
+        )
+    fig.suptitle(
+        "1-degree full-globe non-stationary pipeline, n = 64,800 "
+        "(executed on one TPU v5e; no dense covariance ever exists)",
+        fontsize=11,
+    )
+    fig.tight_layout()
+    fig.savefig(os.path.join(out_dir, "nonstationary_65k.png"))
+    print(f"outputs stored in {out_dir}")
+
 
 if __name__ == "__main__":
     main()

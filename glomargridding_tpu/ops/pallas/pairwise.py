@@ -409,11 +409,15 @@ def _ellipse_matvec_body(
             nu=nu, sqrt_v2=sqrt_v2, modified=modified,
             radius=radius, max_dist=max_dist,
         )
-        # y_I += T @ x_J, accumulated transposed: (W, TJ) x (TI, TJ)^T
+        # y_I += T @ x_J, accumulated transposed: (W, TJ) x (TI, TJ)^T.
+        # HIGHEST precision: the contraction is an (8, T, T) sliver —
+        # negligible next to the tile build — and bf16-default passes
+        # cost ~3e-4 relative against the f32-exact jnp stream.
         contrib_i = jax.lax.dot_general(
             xT_j_ref[:], tile,
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         off_i = pl.multiple_of(i * TILE_P, TILE_P)
         y_acc[:, pl.ds(off_i, TILE_P)] += contrib_i
@@ -426,6 +430,7 @@ def _ellipse_matvec_body(
                 xT_i_ref[:], tile,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
             off_j = pl.multiple_of(j * TILE_P, TILE_P)
             y_acc[:, pl.ds(off_j, TILE_P)] += contrib_j
