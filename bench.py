@@ -585,9 +585,12 @@ def bench_stream_clip(n_side=128):
     matvec_s = time.perf_counter() - t0
     from glomargridding_tpu.utils.roofline import achieved_pairs
 
-    # the fused symmetric kernel builds only the upper triangle:
-    # n^2 / 2 producer pairs per application
-    mv_roofline = achieved_pairs(0.5 * n * n, matvec_s).as_dict()
+    # the fused symmetric kernel builds only the upper triangle; use
+    # the operator's own plan accounting (the wall at this size is
+    # dominated by the ~30 ms tunnel round-trip, not the kernel)
+    mv_roofline = achieved_pairs(
+        float(mv.band_stats["fused_pairs"]), matvec_s
+    ).as_dict()
 
     def clip(key):
         psd = explained_variance_clip_lowrank(
@@ -681,14 +684,19 @@ def bench_stream_banded_259k():
     out["narrow_speedup"] = round(
         out["dense_mv8_s"] / out["fused_mv8_s"], 2
     )
-    # pair throughput: dense sweeps touch n^2 pairs; the fused
-    # symmetric kernel builds only the upper triangle
+    # pair throughput vs the VPU plateau, using each path's ACTUAL
+    # assembled-pair count (the operator reports its band plan)
+    stats = mv_b.band_stats
     out["dense_roofline"] = achieved_pairs(
         float(n) * n, out["dense_mv1024_s"]
     ).as_dict()
-    out["fused_roofline"] = achieved_pairs(
-        0.5 * float(n) * n, out["fused_mv8_s"]
+    out["banded_roofline"] = achieved_pairs(
+        float(stats["wide_pairs"]), out["banded_mv1024_s"]
     ).as_dict()
+    out["fused_roofline"] = achieved_pairs(
+        float(stats["fused_pairs"]), out["fused_mv8_s"]
+    ).as_dict()
+    out["band_fraction"] = round(stats["bwg"] / stats["n_cols_pad"], 3)
     # exactness: banded/grouped == the dense masked stream
     # (_operator_apply_stream, the path the band plan replaces) on a
     # 16-column probe — omitted tiles are exact zeros
@@ -773,9 +781,12 @@ def bench_nonstationary_1m():
     float(mv(X)[0, 0])
     sweep_s = time.perf_counter() - t0
     out["banded_sweep640_s"] = round(sweep_s, 3)
+    out["band_fraction"] = round(
+        mv.band_stats["bwg"] / mv.band_stats["n_cols_pad"], 3
+    )
     out["sweep_roofline"] = achieved_pairs(
-        float(n) * n * 0.37, sweep_s
-    ).as_dict()  # ~band fraction at 3000 km on a global grid
+        float(mv.band_stats["wide_pairs"]), sweep_s
+    ).as_dict()
 
     def clip(key):
         psd = explained_variance_clip_lowrank(

@@ -171,7 +171,7 @@ def save_outputs(out_dir, **arrays):
     lon = np.arange(-179.5, 180.0, 360.0 / M_LON)
     panels = [
         ("truth", "Model-drawn truth", "RdBu_r", True),
-        ("field", "Kriged field (100k-rank-free factors)", "RdBu_r",
+        ("field", "Kriged field (factored covariance)", "RdBu_r",
          True),
         ("uncertainty", "Kriging uncertainty", "Blues", False),
         ("member0", "Ensemble member 0", "RdBu_r", True),

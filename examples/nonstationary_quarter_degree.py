@@ -182,12 +182,26 @@ def main():
     sig = jnp.stack([s00, s01, s11], axis=-1)
     sqd = jnp.sqrt(s00 * s11 - s01 * s01)
 
-    # 4 -- zero-storage streamed operator over the FITTED fields
+    # 4 -- zero-storage streamed operator over the FITTED fields.
+    # GLOMAR_MAX_DIST_KM (default 3000) engages the BANDED stream:
+    # latitude-gap certificates skip provably-zero tiles beyond the
+    # haversine cutoff, cutting every repair sweep's transcendental
+    # work to the band fraction (~2x wide / ~3x narrow at this n —
+    # docs/perf.md round-4 section). Set it empty to disable the
+    # cutoff (full-dense covariance semantics).
+    md_env = os.environ.get("GLOMAR_MAX_DIST_KM", "3000")
+    max_dist = float(md_env) if md_env else None
     mv, n_op, trace = ellipse_covariance_operator(
-        la, lo, sig, sqd, jnp.asarray(stdev), v=1.5, store="stream"
+        la, lo, sig, sqd, jnp.asarray(stdev), v=1.5, store="stream",
+        max_dist=max_dist,
     )
     float(mv(jnp.ones((n,), jnp.float32))[0])  # compile + one sweep
-    t0 = stage("stream operator (1 warm-up sweep, 0 bytes)", t0)
+    t0 = stage(
+        f"stream operator (banded at {max_dist} km, 0 bytes)"
+        if max_dist
+        else "stream operator (1 warm-up sweep, 0 bytes)",
+        t0,
+    )
 
     # 5 -- matvec-only PSD repair, factored result
     psd = explained_variance_clip_lowrank(

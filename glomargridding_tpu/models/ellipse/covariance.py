@@ -629,6 +629,22 @@ def ellipse_covariance_operator(
             jnp.asarray(gs),
             jnp.asarray(hi_np),
         )
+        # honest work accounting for benches/rooflines: the actual
+        # pair counts each path assembles per application
+        matvec.band_stats = {
+            "banded": banded,
+            "bw": int(bw),
+            "bwg": int(bwg),
+            "n_cols_pad": int(n_cols_pad),
+            # wide grouped scan: every (padded) row against its
+            # group's bwg-wide window
+            "wide_pairs": int(nb_pad) * int(block) * int(bwg),
+            # fused symmetric kernel: upper-triangle active tiles only
+            "fused_pairs": int(
+                (hi_np - np.arange(np_blocks) + 1).sum()
+            ) * _TP * _TP,
+            "use_fused": use_fused,
+        }
         return matvec, n, trace
 
     if store != "bf16":

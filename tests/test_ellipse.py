@@ -1436,3 +1436,30 @@ def test_ellipse_matvec_pallas_interpret(rng):
         want = dense @ X
         scale = np.abs(want).max()
         assert np.abs(got - want).max() / scale < 1e-4, max_dist
+
+
+def test_group_windows_cover_and_clamp():
+    """Group windows cover every member row block's window and stay
+    inside the padded column range."""
+    from glomargridding_tpu.models.ellipse.covariance import (
+        _group_windows,
+    )
+
+    col_starts = np.asarray(
+        [0, 256, 256, 512, 1024, 1536, 1792, 1792], np.int32
+    )
+    bw, n_cols_pad, chunk = 512, 2560, 256
+    n_blocks = len(col_starts)
+    G, rpg = 3, 3
+    nb_pad = G * rpg  # one padding block repeating the last start
+    gs, bwg = _group_windows(
+        col_starts, bw, n_blocks, nb_pad, G, rpg, n_cols_pad, chunk
+    )
+    assert gs.shape == (G,)
+    assert bwg % chunk == 0
+    assert (gs >= 0).all() and (gs + bwg <= n_cols_pad).all()
+    # every row block's [start, start+bw) window sits inside its group
+    cs = np.concatenate([col_starts, [col_starts[-1]]]).reshape(G, rpg)
+    for g in range(G):
+        assert (cs[g] >= gs[g]).all()
+        assert (cs[g] + bw <= gs[g] + bwg).all()
