@@ -951,8 +951,14 @@ class EllipseBuilder:
         and wall-time scales linearly in device count (the training
         cube/correlation is replicated per device; per-device (B, N)
         fit temps shrink by n_dev, so `chunk_size` may be raised by
-        the same factor). This is the 0.1-degree path: ~hours of
-        single-chip whole-grid MLE becomes minutes on a pod slice.
+        the same factor). This is the 0.1-degree scaling path. The
+        scaling argument is EXTRAPOLATED from measured single-chip
+        chunk walls (0.22 s per warm 1024-fit chunk at 259k,
+        driver-recorded as ``lazy_mle_259k``; 6.48M points / 1024
+        per chunk ~ 6329 chunks ~ 24 min on one chip) plus the
+        zero-collective structure — only the 8-device CPU-mesh parity
+        and dryrun are hardware-verified (one real chip in this
+        environment); a pod-slice wall has not been measured.
         `chunk_size` is rounded down to a multiple of the axis size.
         Sharded-vs-single-program parity is pinned on the 8-device CPU
         mesh (`tests/test_parallel.py`).
