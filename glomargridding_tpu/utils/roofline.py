@@ -26,11 +26,18 @@ PEAK_BF16_TFLOPS = 197.0  # MXU, bf16 multiply / f32 accumulate
 PEAK_F32_6PASS_TFLOPS = PEAK_BF16_TFLOPS / 6.0  # HIGHEST-precision f32
 PEAK_HBM_GBS = 819.0  # HBM bandwidth
 # VPU pairwise-kernel issue rate: the ellipse tile chain costs ~1 exp +
-# 1 rsqrt + ~30 mul/add per pair; both the Pallas and the XLA assembly
-# paths plateau at ~33-36 G pairs/s on v5e (bench pallas_ellipse_16k,
-# docs/perf.md) — that measured plateau IS the practical VPU
-# transcendental roofline for this kernel family.
-PEAK_ELLIPSE_PAIRS_GS = 35.0
+# 1 rsqrt + ~30 mul/add per pair. Calibrated from the best SUSTAINED
+# exactly-counted measurement — the 259k dense stream sweep (n^2 pairs
+# by construction, 1.65 s wall: 40.7 G pairs/s) and the 1M banded sweep
+# (~43 G pairs/s) — that measured plateau IS the practical VPU
+# transcendental roofline for this kernel family. Sections with walls
+# under ~50 ms (e.g. the 16k stored-assembly kernels at ~16 ms) report
+# well below it: the fixed per-dispatch cost (tunnel round-trip +
+# launch, tens of ms in this environment) is a large fraction of the
+# wall there, so their pct_roofline reads as dispatch overhead, not
+# kernel inefficiency. docs/perf.md "Roofline accounting" has the
+# calibration provenance.
+PEAK_ELLIPSE_PAIRS_GS = 43.0
 
 
 def matmul_flops(m: int, n: int, k: int) -> float:
