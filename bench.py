@@ -365,18 +365,28 @@ def bench_pallas_ellipse(n=16384):
     err = float(jnp.max(jnp.abs(covs["pallas"] - covs["xla"])))
     scale = float(jnp.max(jnp.abs(covs["xla"])))
     out["n"] = n
+    out["kernel"] = "symmetric-triu"  # use_pallas routes to the sym kernel
     out["max_abs_err"] = round(err, 8)
     out["rel_err"] = round(err / scale, 8)
     out["speedup"] = round(out["xla_s"] / out["pallas_s"], 2)
-    # producer throughput vs the VPU transcendental plateau (n^2 pairs,
-    # ~1 exp + 1 rsqrt + ~30 flops each) + the tile write bandwidth
+    # producer throughput vs the VPU transcendental plateau (~1 exp +
+    # 1 rsqrt + ~30 flops per pair) + the tile write bandwidth. The
+    # XLA path builds all n^2 pairs; the symmetric Pallas kernel
+    # builds only the upper-triangle tiles — each path is credited
+    # with the pairs it ACTUALLY assembles.
+    from glomargridding_tpu.ops.pallas.pairwise import _SYM_TILE
     from glomargridding_tpu.utils.roofline import (
         achieved_bandwidth,
         achieved_pairs,
     )
 
+    nb = -(-n // _SYM_TILE)
+    pairs = {
+        "pallas": nb * (nb + 1) / 2 * _SYM_TILE * _SYM_TILE,
+        "xla": float(n) * n,
+    }
     for name in ("pallas", "xla"):
-        r = achieved_pairs(float(n) * n, out[f"{name}_s"]).as_dict()
+        r = achieved_pairs(pairs[name], out[f"{name}_s"]).as_dict()
         r["tile_write"] = achieved_bandwidth(
             float(n) * n * 4, out[f"{name}_s"]
         ).as_dict()

@@ -163,13 +163,16 @@ def build_ellipse_covariance(
     Adds diag(stdev^2) at the end. Memory high-water is
     row_block x N per launch. With ``use_pallas`` (default "auto": on
     when running on a TPU backend and v is half-integer, v <= 3.5) the
-    whole assembly runs as one fused Pallas tile kernel. Measured on
-    v5e with an honest device sync: PARITY with the XLA path at both
-    n=4k and n=16k (``bench.py`` records the comparison every run) —
-    the Pallas kernel led 2.2x at 4k until the shared tile algebra
-    (fused x^v K_v, one rsqrt for pref+quad) brought the XLA path to
-    the same VPU transcendental roofline. Kept as the default for the
-    guaranteed single-pass fusion at any size.
+    whole assembly runs as one fused SYMMETRIC Pallas tile kernel:
+    each upper-triangle 512^2 tile is built once in VMEM, written to
+    block (I, J), and its VMEM transpose written to (J, I) — half the
+    transcendental producer work of the XLA path (which builds all
+    n^2 pairs), with diag(stdev^2) added in-kernel on the diagonal
+    blocks. Measured on v5e (amortised dispatch, honest host-fetch
+    sync): 1.7-1.9x vs the XLA path at n=16k across runs
+    (``bench.py`` records the comparison every run; the earlier plain
+    tile kernel was at PARITY — the VMEM 512^2 transpose measures
+    ~free, so the symmetric halving survives intact).
     """
     if use_pallas == "auto":
         import jax as _jax
@@ -180,9 +183,9 @@ def build_ellipse_covariance(
             and v <= 3.5
         )
     if use_pallas:
-        from ...ops.pallas import ellipse_covariance_pallas
+        from ...ops.pallas import ellipse_covariance_pallas_sym
 
-        return ellipse_covariance_pallas(
+        return ellipse_covariance_pallas_sym(
             jnp.asarray(lats_rad),
             jnp.asarray(lons_rad),
             jnp.asarray(sig_flat),
@@ -467,9 +470,15 @@ def ellipse_covariance_operator(
     max_dist: float | None = None,
     n_blocks: int | None = None,
     store: str = "bf16",
+    assemble: str = "auto",
 ):
     """Matvec-form non-stationary covariance: ``cov @ X`` with no f32
     n x n matrix ever materialised.
+
+    ``assemble`` picks the bf16-store build: "auto" (symmetric Pallas
+    tile kernel on TPU for half-integer v <= 3.5, else the jnp scan),
+    "pallas" (force the symmetric kernel; interpret mode off-TPU —
+    tests), or "scan" (force the jnp row-block scan build).
 
     This is what makes the 1-degree (65k) non-stationary pipeline fit on
     one chip: a dense f32 covariance is ~17 GB (> HBM), but the
@@ -650,6 +659,39 @@ def ellipse_covariance_operator(
     if store != "bf16":
         raise ValueError(f"Unknown store: {store!r}")
 
+    use_sym = assemble == "pallas" or (
+        assemble == "auto"
+        and jax.default_backend() == "tpu"
+        and _is_half_integer(v)
+        and v <= 3.5
+    )
+    if assemble == "pallas" and not (_is_half_integer(v) and v <= 3.5):
+        raise ValueError(
+            "assemble='pallas' requires half-integer v <= 3.5"
+        )
+    if use_sym:
+        # symmetric Pallas assembly: each upper-triangle 512^2 tile is
+        # built once in VMEM and written to both (I, J) and (J, I) as
+        # bf16 — HALF the transcendental work of the scan build
+        # (measured 1.6x at 16k on v5e). keep_pad avoids the [:n, :n]
+        # slice that would materialise a second 8.4 GB copy at 65k;
+        # the matvec zero-pads x instead (padded store rows/cols are
+        # exact zeros: padded stdevs are 0).
+        from ...ops.pallas import ellipse_covariance_pallas_sym
+        from ...ops.pallas.pairwise import _SYM_TILE
+
+        n_pad = -(-n // _SYM_TILE) * _SYM_TILE
+        A = ellipse_covariance_pallas_sym(
+            lats_rad, lons_rad, sig_flat, sqrt_dets, stdevs,
+            v=v, delta_x_method=delta_x_method,
+            max_dist=md if use_md else 0.0,
+            out_dtype=jnp.bfloat16, add_diag=False, keep_pad=True,
+        )
+        fn = _BF16_PAD_MV_BY_N.setdefault(
+            (n, n_pad), partial(_bf16_pad_apply_nd, n, n_pad)
+        )
+        return Matvec(fn, A, diag), n, trace
+
     A = _operator_build(rows, cols, kparams)
     fn = _BF16_MV_BY_N.setdefault(n, partial(_bf16_apply_nd, n))
     return Matvec(fn, A, diag), n, trace
@@ -698,6 +740,37 @@ def _bf16_apply_nd(n, A, diag, x):
 
 
 _BF16_MV_BY_N: dict = {}
+
+
+def _bf16_pad_apply_nd(n, n_pad, A, diag, x):
+    """Padded 2-D bf16-store application (symmetric Pallas build).
+
+    The store is the tile-aligned (n_pad, n_pad) bf16 matrix straight
+    from ``ellipse_covariance_pallas_sym(keep_pad=True)`` — padded
+    rows/cols are exact zeros, so the matvec zero-pads x and slices y
+    instead of ever slicing the 8.4 GB store. Same memoised-fn-slot
+    contract as ``_bf16_apply_nd``.
+    """
+    x2 = x if x.ndim == 2 else x[:, None]
+    out = _operator_apply_bf16_pad(
+        A, diag, x2.astype(jnp.float32), n, n_pad
+    )
+    return out if x.ndim == 2 else out[:, 0]
+
+
+@partial(jax.jit, static_argnames=("n", "n_pad"))
+def _operator_apply_bf16_pad(A, diag, x2, n, n_pad):
+    xp = jnp.pad(
+        x2.astype(jnp.bfloat16), ((0, n_pad - n), (0, 0))
+    )
+    y = jax.lax.dot_general(
+        A, xp, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return y[:n] + diag[:, None] * x2
+
+
+_BF16_PAD_MV_BY_N: dict = {}
 
 
 def _stream_apply_nd(kparams, n, *args):

@@ -2,6 +2,7 @@
 
 from .pairwise import (
     ellipse_covariance_pallas,
+    ellipse_covariance_pallas_sym,
     ellipse_matvec_pallas,
     matern_covariance_pallas,
     pallas_supported,
@@ -9,6 +10,7 @@ from .pairwise import (
 
 __all__ = [
     "ellipse_covariance_pallas",
+    "ellipse_covariance_pallas_sym",
     "ellipse_matvec_pallas",
     "matern_covariance_pallas",
     "pallas_supported",

@@ -344,6 +344,206 @@ def ellipse_covariance_pallas(
 
 
 # ===========================================================================
+# Symmetric stored assembly: build each upper-triangle tile ONCE
+# ===========================================================================
+# The full stored (n, n) assembly is VPU-transcendental-bound (the tile
+# write is ~8% of HBM roofline, docs/perf.md), and the matrix is
+# symmetric — so the XLA path and the plain tile kernel above both do
+# 2x the necessary producer work. This kernel enumerates the
+# nb (nb + 1) / 2 upper-triangle block pairs through scalar-prefetched
+# (I, J) index lists with grid (n_pairs, 2): step k = 0 builds tile
+# T(I, J) in VMEM, stores it to persistent scratch, and writes output
+# block (I, J); step k = 1 writes scratch^T to block (J, I) — every
+# output block is written exactly once (diagonal pairs write the same
+# block twice in consecutive steps, which Pallas keeps in VMEM and
+# flushes once; the tile algebra is bitwise symmetric under i<->j, so
+# the second write is the identical tile). HBM write traffic is
+# unchanged (n^2 f32); the transcendental work is HALVED.
+#
+# Reference scope: this replaces the all-C(N,2)-pairs stored assembly
+# (reference ellipse/covariance.py:250-403) at its own game — the
+# reference's pair list is also triangular, but materialises index
+# arrays and scatters; here the triangularity maps onto the tile grid.
+_SYM_TILE = 512
+
+
+def _ellipse_sym_body(
+    i_list_ref,  # scalar prefetch: (n_pairs,) int32 row-block ids
+    j_list_ref,  # scalar prefetch: (n_pairs,) int32 col-block ids
+    p_row_ref,   # (_SYM_TILE, 8): la, lo, s00, s01, s11, sd, sg, 0
+    p_col_ref,   # (8, _SYM_TILE): same, pre-transposed
+    out_ref,     # (_SYM_TILE, _SYM_TILE)
+    tile_scr,    # scratch (_SYM_TILE, _SYM_TILE) f32
+    *, nu, sqrt_v2, modified, radius, max_dist, out_dtype, with_diag,
+):
+    p = pl.program_id(0)
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        P = p_row_ref[:]
+        Q = p_col_ref[:]
+        tile = _ellipse_tile_value(
+            P[:, 0:1], P[:, 1:2], P[:, 2:3], P[:, 3:4], P[:, 4:5],
+            P[:, 5:6], P[:, 6:7],
+            Q[0:1, :], Q[1:2, :], Q[2:3, :], Q[3:4, :], Q[4:5, :],
+            Q[5:6, :], Q[6:7, :],
+            nu=nu, sqrt_v2=sqrt_v2, modified=modified,
+            radius=radius, max_dist=max_dist,
+        )
+        if with_diag:
+            # add diag(stdev^2) on diagonal blocks IN the kernel: a
+            # separate `out + jnp.diag(...)` epilogue costs a full
+            # n^2 read+write pass (~30% of the whole assembly wall,
+            # measured at 16k on v5e)
+            on_diag = i_list_ref[p] == j_list_ref[p]
+            rid = jax.lax.broadcasted_iota(
+                jnp.int32, tile.shape, 0
+            )
+            cid = jax.lax.broadcasted_iota(
+                jnp.int32, tile.shape, 1
+            )
+            sg = P[:, 6:7]
+            tile = jnp.where(
+                on_diag & (rid == cid), tile + sg * sg, tile
+            )
+        tile_scr[:] = tile
+        out_ref[:] = tile.astype(out_dtype)
+
+    @pl.when(k == 1)
+    def _():
+        out_ref[:] = tile_scr[:].T.astype(out_dtype)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "v", "delta_x_method", "max_dist", "out_dtype", "add_diag",
+        "keep_pad",
+    ),
+)
+def ellipse_covariance_pallas_sym(
+    lats_rad,
+    lons_rad,
+    sig_flat,
+    sqrt_dets,
+    stdevs,
+    v: float = 0.5,
+    delta_x_method: str = "Modified_Met_Office",
+    max_dist: float = 0.0,
+    out_dtype=jnp.float32,
+    add_diag: bool = True,
+    keep_pad: bool = False,
+):
+    """Full N x N non-stationary covariance, upper-triangle tiles only.
+
+    Same contract as ``ellipse_covariance_pallas`` (adds diag(stdev^2),
+    half-integer v, `max_dist` <= 0 disables the cutoff) at ~half the
+    transcendental producer work. ``out_dtype`` lets the bf16 stored
+    operator write half-width blocks straight from the f32 tile;
+    ``add_diag=False`` returns the zero-diagonal matrix for callers
+    that keep diag(stdev^2) separate (the bf16 operator) — at bf16
+    sizes the ``+ jnp.diag`` would double peak HBM. ``keep_pad=True``
+    returns the full (n_pad, n_pad) tile-aligned matrix WITHOUT the
+    ``[:n, :n]`` slice (padded rows/cols are exact zeros: padded
+    stdevs are 0, so every padded tile value vanishes) — at 65k-bf16
+    the slice would materialise a second 8.4 GB copy and OOM.
+    """
+    if abs(2 * v - round(2 * v)) > 1e-12 or round(2 * v) % 2 == 0:
+        raise ValueError(
+            "pallas ellipse kernel supports half-integer v only"
+        )
+    dtype = jnp.float32
+    n_orig = jnp.asarray(lats_rad).shape[0]
+    la = _pad_to(jnp.asarray(lats_rad, dtype), _SYM_TILE)
+    lo = _pad_to(jnp.asarray(lons_rad, dtype), _SYM_TILE)
+    s00 = _pad_to(jnp.asarray(sig_flat[:, 0], dtype), _SYM_TILE)
+    s01 = _pad_to(jnp.asarray(sig_flat[:, 1], dtype), _SYM_TILE)
+    s11 = _pad_to(jnp.asarray(sig_flat[:, 2], dtype), _SYM_TILE)
+    n = la.shape[0]
+    if n > n_orig:
+        # pad Sigma with identity so padded det_bar != 0
+        pad_sel = jnp.arange(n) >= n_orig
+        s00 = jnp.where(pad_sel, 1.0, s00)
+        s11 = jnp.where(pad_sel, 1.0, s11)
+    sd = _pad_to(jnp.asarray(sqrt_dets, dtype), _SYM_TILE)
+    sd = jnp.where(jnp.arange(n) >= n_orig, 1.0, sd)
+    sg = _pad_to(jnp.asarray(stdevs, dtype), _SYM_TILE)
+
+    P = jnp.stack(
+        [la, lo, s00, s01, s11, sd, sg, jnp.zeros((n,), dtype)],
+        axis=-1,
+    )
+    PT = P.T
+
+    nb = n // _SYM_TILE
+    # upper-triangle block-pair lists, row-major (static: nb is static)
+    import numpy as _np
+
+    iu, ju = _np.triu_indices(nb)
+    i_list = jnp.asarray(iu, jnp.int32)
+    j_list = jnp.asarray(ju, jnp.int32)
+    n_pairs = int(iu.shape[0])
+
+    body = partial(
+        _ellipse_sym_body,
+        nu=v,
+        sqrt_v2=2.0 * math.sqrt(v),
+        modified=(delta_x_method == "Modified_Met_Office"),
+        radius=RADIUS_OF_EARTH_KM,
+        max_dist=float(max_dist),
+        out_dtype=out_dtype,
+        with_diag=add_diag,
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_pairs, 2),
+        in_specs=[
+            pl.BlockSpec(
+                (_SYM_TILE, 8),
+                lambda p, k, il, jl: (il[p], 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (8, _SYM_TILE),
+                lambda p, k, il, jl: (0, jl[p]),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (_SYM_TILE, _SYM_TILE),
+            lambda p, k, il, jl: (
+                jnp.where(k == 0, il[p], jl[p]),
+                jnp.where(k == 0, jl[p], il[p]),
+            ),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((_SYM_TILE, _SYM_TILE), jnp.float32)
+        ],
+    )
+    try:
+        cparams = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=40 * 1024 * 1024,
+        )
+    except TypeError:  # older CompilerParams signature
+        cparams = None
+    out = pl.pallas_call(
+        body,
+        out_shape=jax.ShapeDtypeStruct((n, n), out_dtype),
+        grid_spec=grid_spec,
+        compiler_params=cparams,
+        interpret=_interpret(),
+    )(i_list, j_list, P, PT)
+    # diag(stdev^2) is added in-kernel on diagonal blocks (with_diag)
+    if not keep_pad:
+        out = out[:n_orig, :n_orig]
+    return out
+
+
+# ===========================================================================
 # Fused symmetric assemble-and-multiply matvec (narrow x)
 # ===========================================================================
 # y = C_ns @ x for x with <= MV_W columns, never materialising any tile

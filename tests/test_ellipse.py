@@ -715,6 +715,27 @@ def test_ellipse_covariance_operator_matches_dense(rng):
     scale = np.abs(dense @ X).max()
     assert np.abs(got16 - dense @ X).max() / scale < 2e-2
 
+    # symmetric-Pallas bf16 build (interpret mode on CPU): the padded
+    # (n_pad, n_pad) store + zero-padded matvec must match the scan
+    # build's result at bf16 accuracy
+    mv_sym, n_sym, trace_sym = ellipse_covariance_operator(
+        lats, lons, sig, sqd, sd, v=1.5, store="bf16",
+        assemble="pallas",
+    )
+    assert n_sym == n
+    assert trace_sym == pytest.approx(trace, rel=1e-6)
+    got_sym = np.asarray(mv_sym(jnp.asarray(X)))
+    assert np.abs(got_sym - dense @ X).max() / scale < 2e-2
+    got_sym1 = np.asarray(mv_sym(jnp.asarray(X[:, 0])))
+    np.testing.assert_allclose(
+        got_sym1, got_sym[:, 0], rtol=1e-6, atol=1e-6
+    )
+    with pytest.raises(ValueError, match="half-integer"):
+        ellipse_covariance_operator(
+            lats, lons, sig, sqd, sd, v=1.2, store="bf16",
+            assemble="pallas",
+        )
+
 
 def test_operator_clip_to_lowrank_ensemble(rng):
     """65k-style flow at toy size: operator -> clip -> kriging, vs the

@@ -8,6 +8,7 @@ import pytest
 from glomargridding_tpu.ops.distances import haversine_matrix, sigma_rot_flat
 from glomargridding_tpu.ops.pallas import (
     ellipse_covariance_pallas,
+    ellipse_covariance_pallas_sym,
     matern_covariance_pallas,
 )
 from glomargridding_tpu.ops.variogram import MaternVariogram
@@ -127,6 +128,74 @@ def test_ellipse_pallas_max_dist(rng):
 def test_ellipse_pallas_rejects_general_nu():
     with pytest.raises(ValueError, match="half-integer"):
         ellipse_covariance_pallas(
+            jnp.zeros(4), jnp.zeros(4),
+            jnp.ones((4, 3)), jnp.ones(4), jnp.ones(4),
+            v=1.2,
+        )
+
+
+def _ellipse_inputs(rng, n):
+    lats = np.sort(rng.uniform(-60, 60, n)).astype(np.float32)
+    lons = rng.uniform(-180, 180, n).astype(np.float32)
+    Lx = rng.uniform(800, 2000, n).astype(np.float32)
+    Ly = rng.uniform(400, 800, n).astype(np.float32)
+    theta = rng.uniform(-np.pi, np.pi, n).astype(np.float32)
+    stdev = rng.uniform(0.5, 1.5, n).astype(np.float32)
+    s00, s01, _, s11 = sigma_rot_flat(
+        jnp.asarray(Lx), jnp.asarray(Ly), jnp.asarray(theta)
+    )
+    sig_flat = jnp.stack([s00, s01, s11], axis=-1)
+    sqrt_dets = jnp.sqrt(s00 * s11 - s01 * s01)
+    la = jnp.radians(jnp.asarray(lats))
+    lo = jnp.radians(jnp.asarray(lons))
+    return la, lo, sig_flat, sqrt_dets, jnp.asarray(stdev)
+
+
+@pytest.mark.parametrize("max_dist", [0.0, 3000.0])
+def test_ellipse_sym_matches_plain_kernel(rng, max_dist):
+    """The upper-triangle-only kernel is BITWISE the plain tile kernel.
+
+    The tile algebra is exactly symmetric under i<->j in f32 (every op
+    is a commutative product/sum or an exact negation), so writing
+    scratch^T into the lower triangle reproduces the full kernel
+    bit-for-bit. n=70 exercises the padding path (pad 70 -> 512).
+    """
+    la, lo, sig, sqd, sd = _ellipse_inputs(rng, 70)
+    a = np.asarray(ellipse_covariance_pallas(
+        la, lo, sig, sqd, sd, v=1.5, max_dist=max_dist))
+    b = np.asarray(ellipse_covariance_pallas_sym(
+        la, lo, sig, sqd, sd, v=1.5, max_dist=max_dist))
+    assert (a == b).all()
+    assert (b == b.T).all()
+
+
+def test_ellipse_sym_matches_jnp_reference(rng):
+    la, lo, sig, sqd, sd = _ellipse_inputs(rng, 60)
+    ref = np.asarray(build_ellipse_covariance(
+        la, lo, sig, sqd, sd, v=0.5, use_pallas=False))
+    ours = np.asarray(ellipse_covariance_pallas_sym(
+        la, lo, sig, sqd, sd, v=0.5))
+    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=1e-5)
+
+
+def test_ellipse_sym_bf16_no_diag(rng):
+    """bf16 output + add_diag=False: the stored-operator contract."""
+    la, lo, sig, sqd, sd = _ellipse_inputs(rng, 40)
+    full = np.asarray(ellipse_covariance_pallas(
+        la, lo, sig, sqd, sd, v=1.5))
+    nodiag = full - np.diag(np.asarray(sd) ** 2)
+    b16 = np.asarray(ellipse_covariance_pallas_sym(
+        la, lo, sig, sqd, sd, v=1.5,
+        out_dtype=jnp.bfloat16, add_diag=False,
+    ).astype(jnp.float32))
+    assert (np.diag(b16) == 0.0).all()
+    scale = np.abs(nodiag).max()
+    assert np.abs(b16 - nodiag).max() / scale < 8e-3  # bf16 mantissa
+
+
+def test_ellipse_sym_rejects_general_nu():
+    with pytest.raises(ValueError, match="half-integer"):
+        ellipse_covariance_pallas_sym(
             jnp.zeros(4), jnp.zeros(4),
             jnp.ones((4, 3)), jnp.ones(4), jnp.ones(4),
             v=1.2,
