@@ -169,7 +169,7 @@ def build_ellipse_covariance(
     transcendental producer work of the XLA path (which builds all
     n^2 pairs), with diag(stdev^2) added in-kernel on the diagonal
     blocks. Measured on v5e (amortised dispatch, honest host-fetch
-    sync): 1.7-1.9x vs the XLA path at n=16k across runs
+    sync): 1.4-1.9x vs the XLA path at n=16k across runs/inputs
     (``bench.py`` records the comparison every run; the earlier plain
     tile kernel was at PARITY — the VMEM 512^2 transpose measures
     ~free, so the symmetric halving survives intact).
