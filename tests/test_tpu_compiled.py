@@ -166,3 +166,44 @@ for md in (None, 3000.0):
 print("PARITY_OK")
 """
     )
+
+
+def test_compiled_sym_bf16_store_parity():
+    """Compiled symmetric-Pallas bf16 store (assemble='pallas',
+    keep_pad) vs the jnp scan build at n=4096: same matvec result to
+    bf16 accuracy against an f64 host oracle, and the padded store's
+    extra rows/cols must be exact zeros."""
+    _run_on_tpu(
+        _COMMON
+        + """
+from glomargridding_tpu.models.ellipse.covariance import (
+    build_ellipse_covariance,
+    ellipse_covariance_operator,
+)
+n = 4096 - 64  # force a padded (4096, 4096) store
+la, lo, sig, sqd, sd = params(n)
+rng = np.random.default_rng(0)
+X = jnp.asarray(rng.normal(size=(n, 16)).astype(np.float32))
+dense = np.asarray(build_ellipse_covariance(
+    la, lo, sig, sqd, sd, v=1.5, use_pallas=False,
+), dtype=np.float64)
+want = dense @ np.asarray(X, np.float64)
+scale = np.abs(want).max()
+for assemble in ("pallas", "scan"):
+    mv, n_op, tr = ellipse_covariance_operator(
+        la, lo, sig, sqd, sd, v=1.5, store="bf16", assemble=assemble)
+    assert n_op == n
+    err = np.abs(np.asarray(mv(X)) - want).max() / scale
+    print(assemble, "err:", err)
+    assert err < 1e-2, (assemble, err)  # bf16 mantissa floor
+# padded store rows/cols are exact zeros (keep_pad contract)
+mv, _, _ = ellipse_covariance_operator(
+    la, lo, sig, sqd, sd, v=1.5, store="bf16", assemble="pallas")
+A = mv.operands[0]
+assert A.shape == (4096, 4096), A.shape
+pad = np.asarray(A[n:, :].astype(jnp.float32))
+padc = np.asarray(A[:, n:].astype(jnp.float32))
+assert (pad == 0).all() and (padc == 0).all()
+print("PARITY_OK")
+"""
+    )
