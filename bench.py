@@ -775,6 +775,11 @@ def bench_nonstationary_1m():
     s00, s01, _, s11 = sigma_rot_flat(Lx, Ly, theta)
     sig = jnp.stack([s00, s01, s11], axis=-1)
     sqd = jnp.sqrt(s00 * s11 - s01 * s01)
+    # drain the derived-field compiles BEFORE the build timer: the
+    # operator build's internal sync otherwise absorbs their remote-
+    # compile tail (measured: 32 s attributed to a build whose warm
+    # wall is 0.5 s; the tail belonged to these tiny upstream programs)
+    float(sqd[0])
 
     out = {"n": n, "max_dist_km": 3000.0}
     t0 = time.perf_counter()
