@@ -80,16 +80,19 @@ def find_nearest(array, values) -> tuple[np.ndarray, np.ndarray]:
 def intersect_mtlb(a, b):
     """Matlab-style intersect: sorted common values + index vectors.
 
-    Parity: reference ``utils.py:246-279``.
+    Behaviour parity with reference ``utils.py:246-279`` (indices point
+    at the FIRST occurrence of each common value), built directly on
+    ``np.intersect1d(return_indices=True)``: deduplicate each input
+    keeping first-occurrence indices, intersect the uniques, and map
+    the intersect's positions back through those index vectors.
     """
     a = np.asarray(a)
     b = np.asarray(b)
     a1, ia = np.unique(a, return_index=True)
     b1, ib = np.unique(b, return_index=True)
-    aux = np.concatenate((a1, b1))
-    aux.sort()
-    c = aux[:-1][aux[1:] == aux[:-1]]
-    return c, ia[np.isin(a1, c)], ib[np.isin(b1, c)]
+    c, ca, cb = np.intersect1d(a1, b1, assume_unique=True,
+                               return_indices=True)
+    return c, ia[ca], ib[cb]
 
 
 def uncompress_masked(

@@ -200,3 +200,17 @@ def test_ellipse_sym_rejects_general_nu():
             jnp.ones((4, 3)), jnp.ones(4), jnp.ones(4),
             v=1.2,
         )
+
+
+def test_ellipse_sym_keep_pad_f32(rng):
+    """keep_pad returns the tile-aligned matrix; padding is exact
+    zeros and the in-kernel diagonal covers only real points."""
+    la, lo, sig, sqd, sd = _ellipse_inputs(rng, 50)
+    full = np.asarray(ellipse_covariance_pallas_sym(
+        la, lo, sig, sqd, sd, v=1.5, keep_pad=True))
+    assert full.shape == (512, 512)
+    ref = np.asarray(ellipse_covariance_pallas_sym(
+        la, lo, sig, sqd, sd, v=1.5))
+    assert (full[:50, :50] == ref).all()
+    assert (full[50:, :] == 0.0).all()
+    assert (full[:, 50:] == 0.0).all()
