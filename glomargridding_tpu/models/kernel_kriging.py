@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 
 from ..constants import RADIUS_OF_EARTH_KM
+from ..ops.distances import asin_poly
 
 
 class KrigingResult(NamedTuple):
@@ -81,17 +82,24 @@ class _VariogramKernel:
             dx = jnp.degrees(lo1[:, None] - lo2[None, :])
             d = jnp.sqrt(dy * dy + dx * dx)
         else:
+            # haversine-a is well-conditioned for near pairs (no 1-cos
+            # cancellation); kept per-pair sins for that reason
             a = (
                 jnp.sin((la1[:, None] - la2[None, :]) / 2.0) ** 2
                 + jnp.cos(la1)[:, None]
                 * jnp.cos(la2)[None, :]
                 * jnp.sin((lo1[:, None] - lo2[None, :]) / 2.0) ** 2
             )
-            c = 2.0 * jnp.arcsin(jnp.sqrt(jnp.clip(a, 0.0, 1.0)))
+            a = jnp.clip(a, 0.0, 1.0)
             if distance == "chordal":
-                d = 2.0 * radius * jnp.sin(c / 2.0)
+                # chord = 2 R sin(c/2) and c = 2 asin(sqrt(a)), so the
+                # chord is EXACTLY 2 R sqrt(a) — no inverse trig at all
+                d = 2.0 * radius * jnp.sqrt(a)
             elif distance == "haversine":
-                d = radius * c
+                # asin via the A&S polynomial (err 2e-8 < f32 eps):
+                # XLA:TPU's arcsin lowering was the most expensive
+                # per-pair op of the streamed assembly
+                d = 2.0 * radius * asin_poly(jnp.sqrt(a))
             else:
                 raise ValueError(f"Unknown distance: {distance}")
         return self.var - self.variogram._kernel(d)

@@ -42,6 +42,32 @@ def inv_2d(mat):
 # --------------------------------------------------------------------------
 # Core pairwise kernels
 # --------------------------------------------------------------------------
+def asin_poly(x):
+    """arcsin(x) for x in [0, 1] via Abramowitz-Stegun 4.4.46.
+
+    |error| <= 2e-8 — below f32 resolution for central angles — at a
+    fraction of XLA:TPU's arcsin lowering cost (the Pallas tile
+    kernels use the same form because Mosaic has no inverse-trig
+    lowering at all). The streamed kernel solvers route their
+    per-pair central angle through this: at 6.5M-grid scale the
+    C_cross assembly is the ensemble stage's wall and arcsin is its
+    single most expensive per-pair op.
+    """
+    x = jnp.clip(x, 0.0, 1.0)
+    p = jnp.asarray(-0.0012624911, x.dtype)
+    for c in (
+        0.0066700901,
+        -0.0170881256,
+        0.0308918810,
+        -0.0501743046,
+        0.0889789874,
+        -0.2145988016,
+        1.5707963050,
+    ):
+        p = p * x + c
+    return jnp.asarray(0.5 * math.pi, x.dtype) - jnp.sqrt(1.0 - x) * p
+
+
 def _haversine_rad(lat1, lon1, lat2, lon2):
     """Central angle (radians) between broadcastable radian coordinates."""
     dlat = lat1 - lat2

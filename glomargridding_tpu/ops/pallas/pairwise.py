@@ -30,6 +30,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...constants import RADIUS_OF_EARTH_KM
+from ..distances import asin_poly
 
 TILE_M = 256
 TILE_N = 256
@@ -46,25 +47,10 @@ def _interpret() -> bool:
     return not pallas_supported()
 
 
-def _asin_poly(x):
-    """arcsin(x) for x in [0, 1] via Abramowitz-Stegun 4.4.46.
-
-    Mosaic has no inverse-trig lowering; this 7th-order minimax form has
-    |error| <= 2e-8 — below f32 resolution for the distances involved.
-    """
-    x = jnp.clip(x, 0.0, 1.0)
-    p = jnp.asarray(-0.0012624911, x.dtype)
-    for c in (
-        0.0066700901,
-        -0.0170881256,
-        0.0308918810,
-        -0.0501743046,
-        0.0889789874,
-        -0.2145988016,
-        1.5707963050,
-    ):
-        p = p * x + c
-    return (0.5 * math.pi) - jnp.sqrt(1.0 - x) * p
+# arcsin via the shared A&S 4.4.46 polynomial (ops.distances): Mosaic
+# has no inverse-trig lowering, and |err| <= 2e-8 is below f32
+# resolution for the central angles involved
+_asin_poly = asin_poly
 
 
 def _matern_halfint_corr(x, nu: float):
