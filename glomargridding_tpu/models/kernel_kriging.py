@@ -186,6 +186,14 @@ def _kernel_kriging_jit(
     Linv = jsl.solve_triangular(
         L, jnp.eye(n, dtype=L.dtype), lower=True
     )
+    # NOTE on producer fusion (measured, v5e at 6.5M): here the small
+    # `u @ Cc` / `w @ Cc` dots KEEP their own fused copies of the
+    # transcendental assembly — the VPU recompute hides under the
+    # HIGHEST-precision MXU GEMM that dominates this path. Stacking
+    # them into the big GEMM (one producer instance) measured SLOWER
+    # (15.1 -> 17.2 s). The opposite holds in the ensemble path below,
+    # which has no MXU work to hide under: there the stacked single
+    # GEMM halves the stage (docs/perf.md "Producer-fusion economics").
 
     la_b, _ = _pad_blocks(la, n_blocks)
     lo_b, _ = _pad_blocks(lo, n_blocks)
@@ -282,6 +290,16 @@ def _kernel_ensemble_jit(
     # Solve once against the (n, members) RHS; every block is then pure
     # MXU matmuls — no M-RHS triangular solves at all.
     S = jsl.cho_solve(factor, sim_obs.T).T  # (members, n)
+    # Stack u, w and the member weights into ONE left operand: with
+    # separate `u @ Cc` / `w @ Cc` / `S @ Cc` dots, XLA fuses the
+    # transcendental Cc ASSEMBLY into each consumer separately and
+    # recomputes it per dot — measured 4.1 s for the 6.5M ensemble vs
+    # 2.0 s for the assembly scan alone. One (members+2, n) GEMM pins
+    # a single producer instance per block: 6.5M ensemble 4.6 -> 2.15 s
+    # (with the asin-poly kernel). This trade REVERSES in
+    # _kernel_kriging_jit above, where a dominant MXU GEMM hides the
+    # recompute — see the note there / docs/perf.md.
+    M = jnp.concatenate([u[None, :], w[None, :], S], axis=0)
 
     la_b, _ = _pad_blocks(la, n_blocks)
     lo_b, _ = _pad_blocks(lo, n_blocks)
@@ -289,10 +307,10 @@ def _kernel_ensemble_jit(
     def per_block(_, inputs):
         la_blk, lo_blk = inputs
         Cc = kernel_fn(la_o, lo_o, la_blk, lo_blk)
-        t = u @ Cc
-        lam = (t - 1.0) / s
-        field = w @ Cc - lam * uy
-        perturbed = field[None, :] + S @ Cc
+        R = M @ Cc  # rows: u@Cc, w@Cc, then S@Cc
+        lam = (R[0] - 1.0) / s
+        field = R[1] - lam * uy
+        perturbed = field[None, :] + R[2:]
         return None, (field, perturbed)
 
     _, (field, members) = jax.lax.scan(per_block, None, (la_b, lo_b))
