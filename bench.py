@@ -230,11 +230,12 @@ def bench_kriging_tenth():
     diag(C' K^-1 C) costs one m^2 n ~ 3.2e14-FLOP quadratic-form pass
     (Linv @ tile matmuls at HIGHEST precision run it at the f32-exact
     MXU ceiling; see docs/perf.md). The 100-member
-    obs-perturbation ensemble (field +
-    648M member values) is faster than the diagnostics run: solving
-    once against the (n, members) RHS leaves every streamed tile pure
-    MXU matmuls. First-ever run pays ~200 s of XLA compiles (persisted
-    by the compile cache).
+    obs-perturbation ensemble (field + 648M member values) is ~7x
+    faster than the diagnostics run: one (members+2, n) GEMM per tile
+    (single producer instance — docs/perf.md "Producer-fusion
+    economics") and the asin-poly kernel; measured 2.15 s warm.
+    First-ever run pays ~200 s of XLA compiles (persisted by the
+    compile cache).
     """
     import jax
 
