@@ -140,7 +140,7 @@ def _pad_blocks(arr, n_blocks):
 
 @partial(
     jax.jit,
-    static_argnames=("kernel_fn", "method", "n_blocks"),
+    static_argnames=("kernel_fn", "method", "n_blocks", "fields_only"),
 )
 def _kernel_kriging_jit(
     kernel_fn,
@@ -153,6 +153,7 @@ def _kernel_kriging_jit(
     mean,
     method: str,
     n_blocks: int,
+    fields_only: bool = False,
 ):
     la_o = la[idx]
     lo_o = lo[idx]
@@ -183,6 +184,33 @@ def _kernel_kriging_jit(
     w = jsl.cho_solve(factor, y)
     s = jnp.sum(u)
     uy = u @ y
+
+    la_b0, _ = _pad_blocks(la, n_blocks)
+    lo_b0, _ = _pad_blocks(lo, n_blocks)
+
+    if fields_only:
+        # Fields-only (the months-scan diagnostics=False path): no
+        # Linv GEMM exists to hide a duplicated producer under, so
+        # u and w are stacked into ONE (2, n) left operand — a single
+        # fused assembly per tile (docs/perf.md "Producer-fusion
+        # economics"), and the n x n triangular inverse is skipped
+        # entirely.
+        M2 = jnp.stack([u, w], axis=0)
+
+        def per_block_f(_, inputs):
+            la_blk, lo_blk = inputs
+            Cc = kernel_fn(la_o, lo_o, la_blk, lo_blk)
+            R = M2 @ Cc  # rows: u@Cc, w@Cc
+            if method == "ordinary":
+                lam = (R[0] - 1.0) / s
+                field = R[1] - lam * uy
+            else:
+                field = R[1] + mean
+            return None, field
+
+        _, field = jax.lax.scan(per_block_f, None, (la_b0, lo_b0))
+        return field.reshape(-1), None, None
+
     Linv = jsl.solve_triangular(
         L, jnp.eye(n, dtype=L.dtype), lower=True
     )
@@ -194,9 +222,6 @@ def _kernel_kriging_jit(
     # (15.1 -> 17.2 s). The opposite holds in the ensemble path below,
     # which has no MXU work to hide under: there the stacked single
     # GEMM halves the stage (docs/perf.md "Producer-fusion economics").
-
-    la_b, _ = _pad_blocks(la, n_blocks)
-    lo_b, _ = _pad_blocks(lo, n_blocks)
 
     def per_block(_, inputs):
         la_blk, lo_blk = inputs
@@ -216,7 +241,7 @@ def _kernel_kriging_jit(
         return None, (field, uncert2, cmask)
 
     _, (field, uncert2, cmask) = jax.lax.scan(
-        per_block, None, (la_b, lo_b)
+        per_block, None, (la_b0, lo_b0)
     )
     return field.reshape(-1), uncert2.reshape(-1), cmask.reshape(-1)
 
@@ -424,6 +449,7 @@ def _months_scan_jit(
             jnp.asarray(0.0, la.dtype),
             "ordinary",
             n_blocks,
+            fields_only=not diagnostics,
         )
         if diagnostics:
             return carry, (field[:m], uncert2[:m], cmask[:m])

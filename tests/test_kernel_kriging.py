@@ -130,6 +130,17 @@ def test_months_scan(rng):
         np.asarray(cmasks[0]), np.asarray(single.constraint_mask),
         rtol=1e-6,
     )
+    # fields-only path (dedicated stacked 2-row GEMM, no Linv at all)
+    # returns the same fields
+    fields_only = months_scan_kriging(
+        kernel, glat, glon, idx_m, obs_m, err_m, variance=1.0,
+        diagnostics=False,
+    )
+    assert fields_only.shape == (T, len(glat))
+    np.testing.assert_allclose(
+        np.asarray(fields_only), np.asarray(fields), rtol=1e-5,
+        atol=1e-6,
+    )
 
 
 def test_kernel_distance_variants(rng):
