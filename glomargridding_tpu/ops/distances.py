@@ -45,13 +45,17 @@ def inv_2d(mat):
 def asin_poly(x):
     """arcsin(x) for x in [0, 1] via Abramowitz-Stegun 4.4.46.
 
-    |error| <= 2e-8 — below f32 resolution for central angles — at a
-    fraction of XLA:TPU's arcsin lowering cost (the Pallas tile
-    kernels use the same form because Mosaic has no inverse-trig
-    lowering at all). The streamed kernel solvers route their
-    per-pair central angle through this: at 6.5M-grid scale the
-    C_cross assembly is the ensemble stage's wall and arcsin is its
-    single most expensive per-pair op.
+    Polynomial error ~2e-8 (2.2e-8 measured in f64, pinned by test); evaluated in
+    f32 the ``sqrt(1 - x)`` factor loses to cancellation as x -> 1,
+    growing the error to ~1.4e-6 rad — that worst case is the
+    ANTIPODE (18 m of great-circle distance at x = 0.9998), where
+    every kernel this feeds is indistinguishable from zero. Costs a
+    fraction of XLA:TPU's arcsin lowering (the Pallas tile kernels
+    use the same form because Mosaic has no inverse-trig lowering at
+    all). The streamed kernel solvers route their per-pair central
+    angle through this: at 6.5M-grid scale the C_cross assembly is
+    the ensemble stage's wall and arcsin was its single most
+    expensive per-pair op.
     """
     x = jnp.clip(x, 0.0, 1.0)
     p = jnp.asarray(-0.0012624911, x.dtype)

@@ -239,3 +239,27 @@ def test_tau_tangent_vs_tmerc_bound():
 
     with pytest.raises(ValueError, match="unknown displacement"):
         tau_dist_from_frame(df, displacement="nope")
+
+
+def test_asin_poly_accuracy():
+    """A&S 4.4.46 polynomial: |err| ~2e-8 over [0, 1] in f64; f32
+    evaluation degrades to ~1.4e-6 rad ONLY near x -> 1 (sqrt(1 - x)
+    cancellation — the antipode, ~18 m of distance) and stays inside
+    ~5e-7 on the sub-antipodal range the kernels live on."""
+    import jax
+    import jax.numpy as jnp
+
+    from glomargridding_tpu.ops.distances import asin_poly
+
+    x64 = np.linspace(0.0, 1.0, 20001)
+    if jax.config.jax_enable_x64:
+        got = np.asarray(asin_poly(jnp.asarray(x64, jnp.float64)))
+        assert np.abs(got - np.arcsin(x64)).max() < 3e-8
+    x32 = x64.astype(np.float32)
+    got32 = np.asarray(asin_poly(jnp.asarray(x32)))
+    err = np.abs(got32 - np.arcsin(x64))
+    assert err.max() < 2e-6  # antipodal worst case
+    assert err[x64 < 0.99].max() < 5e-7
+    # endpoints exact-ish
+    assert abs(float(asin_poly(jnp.float32(1.0))) - np.pi / 2) < 1e-6
+    assert abs(float(asin_poly(jnp.float32(0.0)))) < 2e-7  # 1 ulp of pi/2
