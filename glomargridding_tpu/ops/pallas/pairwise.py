@@ -350,7 +350,13 @@ def ellipse_covariance_pallas(
 # (reference ellipse/covariance.py:250-403) at its own game — the
 # reference's pair list is also triangular, but materialises index
 # arrays and scatters; here the triangularity maps onto the tile grid.
-_SYM_TILE = 512
+#
+# Tile size swept on v5e at 16k (warm, amortised): 256 -> 8.7 ms,
+# 512 -> 7.0 ms, 1024 -> 6.4 ms (6.9 ms banded, vmem limit 100 MB of
+# the 128 MB physical) — fewer grid cells amortise the per-cell
+# DMA-issue overhead; 1024 holds the tile + transpose scratch + the
+# ~10-intermediate build chain within the limit.
+_SYM_TILE = 1024
 
 
 def _ellipse_sym_body(
@@ -510,9 +516,13 @@ def ellipse_covariance_pallas_sym(
         ],
     )
     try:
+        # 100 MB scoped VMEM (128 MB physical): the 1024^2 tile (4 MB)
+        # + transpose scratch + ~10 live build intermediates + the
+        # banded-cutoff trig chain need ~70-90 MB; measured to compile
+        # and run banded at this limit (docs/perf.md tile-size sweep)
         cparams = pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
-            vmem_limit_bytes=40 * 1024 * 1024,
+            vmem_limit_bytes=100 * 1024 * 1024,
         )
     except TypeError:  # older CompilerParams signature
         cparams = None

@@ -205,10 +205,12 @@ def test_ellipse_sym_rejects_general_nu():
 def test_ellipse_sym_keep_pad_f32(rng):
     """keep_pad returns the tile-aligned matrix; padding is exact
     zeros and the in-kernel diagonal covers only real points."""
+    from glomargridding_tpu.ops.pallas.pairwise import _SYM_TILE
+
     la, lo, sig, sqd, sd = _ellipse_inputs(rng, 50)
     full = np.asarray(ellipse_covariance_pallas_sym(
         la, lo, sig, sqd, sd, v=1.5, keep_pad=True))
-    assert full.shape == (512, 512)
+    assert full.shape == (_SYM_TILE, _SYM_TILE)
     ref = np.asarray(ellipse_covariance_pallas_sym(
         la, lo, sig, sqd, sd, v=1.5))
     assert (full[:50, :50] == ref).all()
