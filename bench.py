@@ -43,24 +43,28 @@ M_LAT, M_LON = 180, 360
 TIMING_ITERS = 5
 
 
-def timeit(run, checksum):
+def timeit(run, checksum, iters: int = TIMING_ITERS):
     """Median-free amortised timing with an HONEST device sync.
 
     On the remote-tunnel ("axon") backend ``jax.block_until_ready`` can
     return before the computation finishes (measured: block 1.4 ms,
     first host fetch 3.4 s). The only reliable barrier is a host fetch,
-    so: run TIMING_ITERS dispatches back-to-back, then force a scalar
+    so: run `iters` dispatches back-to-back, then force a scalar
     fetch from the LAST result — the queue drains in order, so the
     elapsed time covers every iteration and the ~30 ms fetch overhead is
-    amortised to <1% per iteration.
+    amortised to <1% per iteration. Sections whose single dispatch is
+    only a few ms (the 4k/16k Pallas points) pass a larger `iters`:
+    at the default 5, the amortised fetch is ~6 ms/iter — comparable
+    to the wall being measured, which made those numbers wander
+    0.93-1.5x across rounds.
     """
     res = run()
     checksum(res)  # warm-up: compile + drain
     t0 = time.perf_counter()
-    for _ in range(TIMING_ITERS):
+    for _ in range(iters):
         res = run()
     checksum(res)
-    return (time.perf_counter() - t0) / TIMING_ITERS
+    return (time.perf_counter() - t0) / iters
 
 
 N_OBS = 5000
@@ -361,7 +365,9 @@ def bench_pallas_ellipse(n=16384):
                 v=1.5, use_pallas=use_pallas, row_block=n,
             )
 
-        out[f"{name}_s"] = round(timeit(build, checksum), 4)
+        # 40 iters: these walls are 6-16 ms, so the default 5 leaves
+        # ~6 ms/iter of amortised fetch overhead in the number
+        out[f"{name}_s"] = round(timeit(build, checksum, iters=40), 4)
         covs[name] = build(flag)
     err = float(jnp.max(jnp.abs(covs["pallas"] - covs["xla"])))
     scale = float(jnp.max(jnp.abs(covs["xla"])))
