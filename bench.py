@@ -315,7 +315,9 @@ def bench_ensemble():
         field, members = out
         return float(field.sum()) + float(members[-1].sum())
 
-    return timeit(run, checksum)
+    # ~40 ms walls: 20 iterations keep the amortised tunnel fetch
+    # under ~4% of the number (docs/perf.md measurement notes)
+    return timeit(run, checksum, iters=20)
 
 
 def bench_pallas_ellipse(n=16384):
@@ -597,14 +599,17 @@ def bench_stream_clip(n_side=128):
     )
     x = jnp.ones((n, 8), jnp.float32)
     float(mv(x)[0, 0])  # compile
+    # amortise over 20 dispatches: a single ~15 ms matvec wall would
+    # otherwise be ~2/3 tunnel fetch (docs/perf.md measurement notes)
     t0 = time.perf_counter()
-    float(mv(x)[0, 0])
-    matvec_s = time.perf_counter() - t0
+    for _ in range(20):
+        y = mv(x)
+    float(y[0, 0])
+    matvec_s = (time.perf_counter() - t0) / 20
     from glomargridding_tpu.utils.roofline import achieved_pairs
 
     # the fused symmetric kernel builds only the upper triangle; use
-    # the operator's own plan accounting (the wall at this size is
-    # dominated by the ~30 ms tunnel round-trip, not the kernel)
+    # the operator's own plan accounting
     mv_roofline = achieved_pairs(
         float(mv.band_stats["fused_pairs"]), matvec_s
     ).as_dict()
@@ -677,11 +682,15 @@ def bench_stream_banded_259k():
     def sync(x):
         return float(jnp.asarray(x).ravel()[0])
 
-    def wall(f):
+    def wall(f, iters=4):
+        # amortise the ~30 ms tunnel fetch over a few dispatches —
+        # ~10% of a 0.3 s wall otherwise (docs/perf.md notes)
         sync(f())  # compile (or cache) + drain
         t0 = time.perf_counter()
-        sync(f())
-        return time.perf_counter() - t0
+        for _ in range(iters):
+            y = f()
+        sync(y)
+        return (time.perf_counter() - t0) / iters
 
     out = {"n": n, "max_dist_km": 3000.0}
     mv_d, _, _ = ellipse_covariance_operator(
