@@ -514,16 +514,18 @@ def bench_lowrank_65k():
     del mv  # free the 8.4 GB store before the ensemble
 
     def members(key):
-        res, mem = lowrank_ensemble_step(
+        return lowrank_ensemble_step(
             psd, idx, y, err_cov, key, n_members=N_MEMBERS
         )
-        float(mem[-1, -1])
-        return res, mem
 
-    members(jax.random.key(3))  # compile
+    _, mem = members(jax.random.key(3))  # compile
+    float(mem[-1, -1])
+    # amortise the ~30 ms tunnel fetch over 10 warm steps
     t0 = time.perf_counter()
-    members(jax.random.key(4))  # warm
-    out["members_s"] = round(time.perf_counter() - t0, 3)
+    for i in range(10):
+        _, mem = members(jax.random.key(4 + i))
+    float(mem[-1, -1])
+    out["members_s"] = round((time.perf_counter() - t0) / 10, 3)
     out["n"] = n
 
     # self-consistency pin: for truth drawn from the model's own
@@ -849,16 +851,18 @@ def bench_nonstationary_1m():
     )  # diagonal error cov
 
     def members(key):
-        res, mem = lowrank_ensemble_step(
+        return lowrank_ensemble_step(
             psd, idx, y, E, key, n_members=N_MEMBERS
         )
-        float(mem[-1, -1])
-        return res, mem
 
-    members(jax.random.key(3))  # compile
+    _, mem = members(jax.random.key(3))  # compile
+    float(mem[-1, -1])
+    # amortise the ~30 ms tunnel fetch over 10 warm steps
     t0 = time.perf_counter()
-    members(jax.random.key(4))
-    wall = time.perf_counter() - t0
+    for i in range(10):
+        _, mem = members(jax.random.key(4 + i))
+    float(mem[-1, -1])
+    wall = (time.perf_counter() - t0) / 10
     out["members_s"] = round(wall, 3)
     out["members_per_s"] = round(N_MEMBERS / wall, 1)
     return out
