@@ -187,10 +187,14 @@ def main():
     # latitude-gap certificates skip provably-zero tiles beyond the
     # haversine cutoff, cutting every repair sweep's transcendental
     # work to the band fraction (~2x wide / ~3x narrow at this n —
-    # docs/perf.md round-4 section). Set it empty to disable the
-    # cutoff (full-dense covariance semantics).
+    # docs/perf.md round-4 section). Set it empty or to 0 to disable
+    # the cutoff (full-dense covariance semantics) — a literal 0 km
+    # cutoff would zero every off-diagonal entry, never what a user
+    # means by it.
     md_env = os.environ.get("GLOMAR_MAX_DIST_KM", "3000")
     max_dist = float(md_env) if md_env else None
+    if max_dist is not None and max_dist <= 0.0:
+        max_dist = None
     mv, n_op, trace = ellipse_covariance_operator(
         la, lo, sig, sqd, jnp.asarray(stdev), v=1.5, store="stream",
         max_dist=max_dist,

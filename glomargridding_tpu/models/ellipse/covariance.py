@@ -121,9 +121,15 @@ def ellipse_covariance_block(
     if use_max_dist:
         # haversine cutoff with ZERO per-pair transcendentals:
         # dist > max_dist <=> a > sin^2(max_dist / 2R) (asin is
-        # monotone), and a = (1 - cos dlat)/2 + cos cos (1 - cos
-        # dlon)/2 where both difference-cosines expand through
-        # per-POINT sines/cosines (cos(x - y) = cx cy + sx sy). The
+        # monotone), with a = sin^2(dlat/2) + cos cos sin^2(dlon/2)
+        # and each half-angle sine expanded through per-POINT
+        # HALF-angle trig: sin((x-y)/2) = sh_x ch_y - ch_x sh_y.
+        # The squared-difference form is f32-stable at ANY cutoff —
+        # the earlier (1 - cos(x-y))/2 expansion cancelled
+        # catastrophically (abs error ~1e-7 vs a_thresh ~6e-7 at a
+        # 10 km cutoff -> boundary misplaced by ~8% of the radius);
+        # here the per-pair rounding lands BEFORE the square, so the
+        # error in a is ~2*sqrt(a)*eps (relative, not absolute). The
         # naive per-pair haversine nearly doubled the tile's
         # transcendental wall (measured on v5e; the tile chain itself
         # is one exp + one rsqrt per pair).
@@ -131,13 +137,15 @@ def ellipse_covariance_block(
             max_dist / (2.0 * RADIUS_OF_EARTH_KM), 0.5 * math.pi
         )
         a_thresh = jnp.sin(half) ** 2  # scalar, once per tile
-        cli, sli = jnp.cos(la_i), jnp.sin(la_i)
-        clj, slj = jnp.cos(la_j), jnp.sin(la_j)
-        cloi, sloi = jnp.cos(lo_i), jnp.sin(lo_i)
-        cloj, sloj = jnp.cos(lo_j), jnp.sin(lo_j)
-        cdlat = cli * clj + sli * slj
-        cdlon = cloi * cloj + sloi * sloj
-        a = 0.5 * (1.0 - cdlat) + (cli * clj) * (0.5 * (1.0 - cdlon))
+        shla_i, chla_i = jnp.sin(0.5 * la_i), jnp.cos(0.5 * la_i)
+        shla_j, chla_j = jnp.sin(0.5 * la_j), jnp.cos(0.5 * la_j)
+        shlo_i, chlo_i = jnp.sin(0.5 * lo_i), jnp.cos(0.5 * lo_i)
+        shlo_j, chlo_j = jnp.sin(0.5 * lo_j), jnp.cos(0.5 * lo_j)
+        sdlat = shla_i * chla_j - chla_i * shla_j
+        sdlon = shlo_i * chlo_j - chlo_i * shlo_j
+        cli = 1.0 - 2.0 * shla_i * shla_i  # cos(la) from half-angle
+        clj = 1.0 - 2.0 * shla_j * shla_j
+        a = sdlat * sdlat + (cli * clj) * (sdlon * sdlon)
         out = jnp.where(a > a_thresh, jnp.zeros_like(out), out)
     return out.astype(dtype)
 
@@ -164,15 +172,16 @@ def build_ellipse_covariance(
     row_block x N per launch. With ``use_pallas`` (default "auto": on
     when running on a TPU backend and v is half-integer, v <= 3.5) the
     whole assembly runs as one fused SYMMETRIC Pallas tile kernel:
-    each upper-triangle 512^2 tile is built once in VMEM, written to
-    block (I, J), and its VMEM transpose written to (J, I) — half the
-    transcendental producer work of the XLA path (which builds all
-    n^2 pairs), with diag(stdev^2) added in-kernel on the diagonal
-    blocks. Measured on v5e (amortised dispatch, honest host-fetch
-    sync): 1.4-1.9x vs the XLA path at n=16k across runs/inputs
-    (``bench.py`` records the comparison every run; the earlier plain
-    tile kernel was at PARITY — the VMEM 512^2 transpose measures
-    ~free, so the symmetric halving survives intact).
+    each upper-triangle tile (``_SYM_TILE``^2 = 1024^2, swept) is
+    built once in VMEM, written to block (I, J), and its VMEM
+    transpose written to (J, I) — half the transcendental producer
+    work of the XLA path (which builds all n^2 pairs), with
+    diag(stdev^2) added in-kernel on the diagonal blocks. Measured on
+    v5e (amortised dispatch, honest host-fetch sync): ~2.7x vs the
+    XLA path at n=16k (``bench.py`` records the comparison every run;
+    the earlier plain tile kernel was at PARITY — the in-VMEM tile
+    transpose measures ~free at 512^2, so the symmetric halving
+    survives intact).
     """
     if use_pallas == "auto":
         import jax as _jax
@@ -550,10 +559,7 @@ def ellipse_covariance_operator(
     pad = n_blocks * block - n
 
     def _pad(a):
-        if pad == 0:
-            return a
-        widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
-        return jnp.pad(a, widths, mode="edge")
+        return _pad_edge(a, pad)
 
     rows = tuple(
         _pad(a).reshape((n_blocks, block) + a.shape[1:])
@@ -659,6 +665,8 @@ def ellipse_covariance_operator(
     if store != "bf16":
         raise ValueError(f"Unknown store: {store!r}")
 
+    if assemble not in ("auto", "pallas", "scan"):
+        raise ValueError(f"Unknown assemble: {assemble!r}")
     use_sym = assemble == "pallas" or (
         assemble == "auto"
         and jax.default_backend() == "tpu"
@@ -670,10 +678,11 @@ def ellipse_covariance_operator(
             "assemble='pallas' requires half-integer v <= 3.5"
         )
     if use_sym:
-        # symmetric Pallas assembly: each upper-triangle 512^2 tile is
-        # built once in VMEM and written to both (I, J) and (J, I) as
-        # bf16 — HALF the transcendental work of the scan build
-        # (measured 1.6x at 16k on v5e). keep_pad avoids the [:n, :n]
+        # symmetric Pallas assembly: each upper-triangle _SYM_TILE^2
+        # tile is built once in VMEM and written to both (I, J) and
+        # (J, I) as bf16 — HALF the transcendental work of the scan
+        # build (~2.7x at 16k on v5e, amortised; bench.py pins it
+        # every run). keep_pad avoids the [:n, :n]
         # slice that would materialise a second 8.4 GB copy at 65k;
         # the matvec zero-pads x instead (padded store rows/cols are
         # exact zeros: padded stdevs are 0).

@@ -220,18 +220,24 @@ def _ellipse_tile_value(
     if max_dist > 0.0:
         # cutoff with ZERO per-pair transcendentals, mirroring the jnp
         # tile exactly: a > sin^2(max_dist / 2R) in haversine-a space,
-        # with both difference-cosines expanded through per-POINT
-        # (strip) sines/cosines — the naive per-pair haversine nearly
-        # doubled the tile's transcendental wall (measured on v5e)
+        # a = sin^2(dlat/2) + cos cos sin^2(dlon/2) with each
+        # half-angle sine expanded through per-POINT (strip)
+        # HALF-angle trig (sin((x-y)/2) = sh ch' - ch sh') — the
+        # squared-difference form is f32-stable at any cutoff, unlike
+        # the cancelling (1 - cos(x-y))/2 expansion; the naive
+        # per-pair haversine nearly doubled the tile's transcendental
+        # wall (measured on v5e)
         half = min(max_dist / (2.0 * radius), 0.5 * math.pi)
         a_thresh = math.sin(half) ** 2
-        cli, sli = jnp.cos(la_i), jnp.sin(la_i)
-        clj, slj = jnp.cos(la_j), jnp.sin(la_j)
-        cloi, sloi = jnp.cos(lo_i), jnp.sin(lo_i)
-        cloj, sloj = jnp.cos(lo_j), jnp.sin(lo_j)
-        cdlat = cli * clj + sli * slj
-        cdlon = cloi * cloj + sloi * sloj
-        a = 0.5 * (1.0 - cdlat) + (cli * clj) * (0.5 * (1.0 - cdlon))
+        shla_i, chla_i = jnp.sin(0.5 * la_i), jnp.cos(0.5 * la_i)
+        shla_j, chla_j = jnp.sin(0.5 * la_j), jnp.cos(0.5 * la_j)
+        shlo_i, chlo_i = jnp.sin(0.5 * lo_i), jnp.cos(0.5 * lo_i)
+        shlo_j, chlo_j = jnp.sin(0.5 * lo_j), jnp.cos(0.5 * lo_j)
+        sdlat = shla_i * chla_j - chla_i * shla_j
+        sdlon = shlo_i * chlo_j - chlo_i * shlo_j
+        cli = 1.0 - 2.0 * shla_i * shla_i
+        clj = 1.0 - 2.0 * shla_j * shla_j
+        a = sdlat * sdlat + (cli * clj) * (sdlon * sdlon)
         out = jnp.where(a > a_thresh, jnp.zeros_like(out), out)
     return out
 

@@ -216,3 +216,87 @@ def test_ellipse_sym_keep_pad_f32(rng):
     assert (full[:50, :50] == ref).all()
     assert (full[50:, :] == 0.0).all()
     assert (full[:, 50:] == 0.0).all()
+
+
+def _f64_haversine_km(lats_deg, lons_deg):
+    """f64 numpy haversine oracle (km), no library code."""
+    la = np.radians(lats_deg.astype(np.float64))
+    lo = np.radians(lons_deg.astype(np.float64))
+    dla = la[:, None] - la[None, :]
+    dlo = lo[:, None] - lo[None, :]
+    a = (
+        np.sin(0.5 * dla) ** 2
+        + np.cos(la)[:, None] * np.cos(la)[None, :]
+        * np.sin(0.5 * dlo) ** 2
+    )
+    return 2.0 * 6371.0088 * np.arcsin(np.sqrt(np.clip(a, 0.0, 1.0)))
+
+
+def test_small_cutoff_f32_boundary_precision(rng):
+    """The haversine cutoff must stay f32-accurate at SMALL radii.
+
+    The zero-transcendental cutoff once expanded (1 - cos(x - y))/2
+    through per-point full-angle trig, which cancels catastrophically
+    in f32: at a 10 km cutoff the boundary was misplaced by up to ~8%
+    of the radius. The half-angle squared-difference form keeps the
+    rounding BEFORE the square, so the error in haversine-a is
+    relative (~2*sqrt(a)*eps). Pin: every pair classified differently
+    from the f64 oracle lies within 0.5% of the boundary — across a
+    mid-lat cluster, a dateline-straddling cluster, and a polar one.
+    Exercises both the jnp tile path and the Pallas kernel.
+    """
+    cut_km = 10.0
+    clusters = [
+        (47.0, 8.0),      # mid-latitude
+        (-35.0, 179.95),  # straddles the antimeridian
+        (80.0, -120.0),   # high latitude (small cos-lat)
+    ]
+    lats, lons = [], []
+    for la0, lo0 in clusters:
+        # ~0.5-20 km spacings around each centre so many pairs land
+        # near the 10 km boundary
+        lats.append(la0 + rng.uniform(-0.09, 0.09, 24))
+        lons.append(lo0 + rng.uniform(-0.13, 0.13, 24))
+    lats = np.concatenate(lats).astype(np.float32)
+    lons = ((np.concatenate(lons) + 180.0) % 360.0 - 180.0).astype(
+        np.float32
+    )
+    n = lats.shape[0]
+
+    dist = _f64_haversine_km(lats, lons)
+    Lx = np.full(n, 30.0, np.float32)
+    Ly = np.full(n, 20.0, np.float32)
+    theta = np.zeros(n, np.float32)
+    stdev = np.ones(n, np.float32)
+    s00, s01, _, s11 = sigma_rot_flat(
+        jnp.asarray(Lx), jnp.asarray(Ly), jnp.asarray(theta)
+    )
+    sig_flat = jnp.stack([s00, s01, s11], axis=-1)
+    sqrt_dets = jnp.sqrt(s00 * s11 - s01 * s01)
+    la = jnp.radians(jnp.asarray(lats))
+    lo = jnp.radians(jnp.asarray(lons))
+
+    off = ~np.eye(n, dtype=bool)
+    for path in ("jnp", "pallas"):
+        if path == "jnp":
+            cov = np.asarray(
+                build_ellipse_covariance(
+                    la, lo, sig_flat, sqrt_dets, jnp.asarray(stdev),
+                    v=0.5, max_dist=cut_km, use_pallas=False,
+                )
+            )
+        else:
+            cov = np.asarray(
+                ellipse_covariance_pallas(
+                    la, lo, sig_flat, sqrt_dets, jnp.asarray(stdev),
+                    v=0.5, max_dist=cut_km,
+                )
+            )
+        zeroed = (cov == 0.0) & off
+        kept = (cov != 0.0) & off
+        # sanity: the construction actually produces near-boundary work
+        assert (dist[off] < cut_km).any() and (dist[off] > cut_km).any()
+        # zeroed pairs must be beyond 99.5% of the radius; kept pairs
+        # within 100.5% of it
+        assert dist[zeroed].min() > cut_km * 0.995, path
+        assert dist[kept].max() < cut_km * 1.005, path
