@@ -865,6 +865,36 @@ def bench_nonstationary_1m():
     wall = (time.perf_counter() - t0) / 10
     out["members_s"] = round(wall, 3)
     out["members_per_s"] = round(N_MEMBERS / wall, 1)
+
+    # Honest 0.1-degree (6,480,000-cell) extrapolation from the rates
+    # MEASURED above. The banded sweep is pair-throughput-bound and the
+    # band fraction is resolution-independent for a lat-major grid
+    # (the +-3000 km latitude window covers the same angular span at
+    # any resolution), so sweep cost scales as bf * n^2 at the measured
+    # G pairs/s; the clip is sweep-dominated with a sweep COUNT fixed
+    # by (k0, max_rank, n_iter, rank_multiple), so it scales with the
+    # per-sweep pair count; the low-rank members step is linear in n at
+    # fixed rank. Memory caveat, stated rather than hidden: at 6.48M
+    # the clip's (n, max_rank) CholQR basis is 26.5 GB f32 — past one
+    # chip's HBM — so the clip stage needs the ring-SUMMA sharded
+    # operator + row-sharded basis (parallel/ellipse.py; 8-device
+    # CPU-mesh tested) on a >=2-chip mesh, where the sweep walls below
+    # ALSO divide by the mesh size. The sweep/members walls themselves
+    # are single-chip-feasible as quoted.
+    n6 = 6_480_000
+    pair_ratio = (n6 / n) ** 2
+    rate = float(mv.band_stats["wide_pairs"]) / sweep_s
+    out["extrapolated_tenth_degree"] = {
+        "n": n6,
+        "basis": "measured-1M rates; bf*n^2 sweeps, linear members; "
+        "clip basis (26.5 GB) needs a sharded mesh — walls there "
+        "divide by mesh size",
+        "sweep640_s": round(
+            out["band_fraction"] * n6 * n6 / rate, 1
+        ),
+        "clip_s": round(out["clip_s"] * pair_ratio, 1),
+        "members_s": round(wall * n6 / n, 2),
+    }
     return out
 
 
