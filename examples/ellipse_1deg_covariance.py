@@ -23,7 +23,6 @@ try:  # prefer the installed package; fall back to a repo checkout
 except ImportError:
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-import jax
 import jax.numpy as jnp
 
 from glomargridding_tpu.ops.distances import sigma_rot_flat

@@ -23,7 +23,6 @@ import sys
 import time
 
 import numpy as np
-import pandas as pd
 
 try:  # prefer the installed package; fall back to a repo checkout
     import glomargridding_tpu  # noqa: F401

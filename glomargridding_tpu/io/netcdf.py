@@ -75,7 +75,7 @@ def _scalar_attr(val):
     return np.asarray(val).reshape(-1)[0]
 
 
-def _decode_values(ds: h5py.Dataset) -> np.ndarray:
+def _decode_values(ds: h5py.Dataset) -> np.ndarray:  # noqa: C901
     """CF-decode a variable's raw values.
 
     netCDF semantics (CF conventions 2.5.1 / NUG): ``_FillValue`` matches

@@ -468,7 +468,7 @@ class EllipseCovarianceBuilder:
         self.cov_ns = uncompressed
 
 
-def ellipse_covariance_operator(
+def ellipse_covariance_operator(  # noqa: C901
     lats_rad,
     lons_rad,
     sig_flat,

@@ -843,7 +843,7 @@ class EllipseBuilder:
         if model_params[2] <= -np.pi:
             model_params[2] += np.pi
 
-    def compute_params(
+    def compute_params(  # noqa: C901
         self,
         default_value: Any,
         matern_ellipse: EllipseModel,

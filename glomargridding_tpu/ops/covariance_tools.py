@@ -302,7 +302,7 @@ def _adaptive_topk(matvec, n, accept, k0, max_rank, **topk_kwargs):
     )
 
 
-def explained_variance_clip_lowrank(
+def explained_variance_clip_lowrank(  # noqa: C901
     operator,
     n: int | None = None,
     trace: float | None = None,
@@ -447,7 +447,7 @@ def _make_cor_apply(base_fn):
 _COR_MV_BY_FN: dict = {}
 
 
-def laloux_clip_lowrank(
+def laloux_clip_lowrank(  # noqa: C901
     operator,
     diag=None,
     n: int | None = None,

@@ -45,8 +45,9 @@ def inv_2d(mat):
 def asin_poly(x):
     """arcsin(x) for x in [0, 1] via Abramowitz-Stegun 4.4.46.
 
-    Polynomial error ~2e-8 (2.2e-8 measured in f64, pinned by test); evaluated in
-    f32 the ``sqrt(1 - x)`` factor loses to cancellation as x -> 1,
+    Polynomial error ~2e-8 (2.2e-8 measured in f64, pinned by test);
+    evaluated in f32 the ``sqrt(1 - x)`` factor loses to cancellation
+    as x -> 1,
     growing the error to ~1.4e-6 rad — that worst case is the
     ANTIPODE (18 m of great-circle distance at x = 0.9998), where
     every kernel this feeds is indistinguishable from zero. Costs a

@@ -369,7 +369,7 @@ def _householder_iterate(matvec, key, n, width, n_iter, dtype):
     return Q, B
 
 
-def adaptive_topk_eigh(
+def adaptive_topk_eigh(  # noqa: C901
     operator,
     accept: Callable,
     n: int | None = None,

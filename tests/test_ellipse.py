@@ -1343,7 +1343,7 @@ def test_banded_stream_operator_exact_vs_dense(rng):
     # chunks active here)
 
 
-def test_band_plan_certificates(rng):
+def test_band_plan_certificates(rng):  # noqa: C901
     """The latitude-gap band plan: windows cover every pair within the
     cutoff, hi is upper-triangular and >= the diagonal."""
     from glomargridding_tpu.constants import RADIUS_OF_EARTH_KM

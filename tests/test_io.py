@@ -14,7 +14,6 @@ from glomargridding_tpu.io import (
 )
 
 from conftest import (
-    REFERENCE_DATA,
     reference_data_path,
     requires_reference_data,
 )

@@ -6,7 +6,6 @@ output of the independent Julia implementation (range conversion /3
 between the libraries), exactly as the reference validates itself.
 """
 
-import os
 from itertools import product
 
 import numpy as np

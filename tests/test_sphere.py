@@ -2,7 +2,6 @@
 
 import jax
 import numpy as np
-import pytest
 
 from glomargridding_tpu.ops.sphere import (
     SphericalHarmonicSampler,
