@@ -50,4 +50,4 @@ __all__ = [
     "variogram_to_covariance",
 ]
 
-__version__ = "0.3.0"
+__version__ = "0.5.0"
