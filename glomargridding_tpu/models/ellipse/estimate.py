@@ -952,13 +952,19 @@ class EllipseBuilder:
         cube/correlation is replicated per device; per-device (B, N)
         fit temps shrink by n_dev, so `chunk_size` may be raised by
         the same factor). This is the 0.1-degree scaling path. The
-        scaling argument is EXTRAPOLATED from measured single-chip
-        chunk walls (0.22 s per warm 1024-fit chunk at 259k,
-        driver-recorded as ``lazy_mle_259k``; 6.48M points / 1024
-        per chunk ~ 6329 chunks ~ 24 min on one chip) plus the
-        zero-collective structure — only the 8-device CPU-mesh parity
-        and dryrun are hardware-verified (one real chip in this
-        environment); a pod-slice wall has not been measured.
+        single-chip rate is MEASURED at two grid octaves
+        (driver-recorded): 0.22 s per warm 1024-fit chunk at
+        n=259,200 (``lazy_mle_259k``) and 0.136 s per warm 256-fit
+        chunk at n=1,036,800 (``lazy_mle_1M`` — whole-1M-grid ~9.2
+        min one chip; the per-fit wall grows ~2.5x per 4x grid
+        because the lazy correlation rows lengthen with n, which is
+        why the 259k-rate-only projection of round 4 — "~24 min at
+        6.48M" — was optimistic). Scaling the measured 1M per-fit
+        rate to 6.48M fits gives ~1 h single-chip as a LOWER bound
+        (the row-length growth continues past 1M), / n_dev on a
+        mesh; only the 8-device CPU-mesh parity and dryrun are
+        hardware-verified (one real chip in this environment); a
+        pod-slice wall has not been measured.
         `chunk_size` is rounded down to a multiple of the axis size.
         Sharded-vs-single-program parity is pinned on the 8-device CPU
         mesh (`tests/test_parallel.py`).
