@@ -1065,6 +1065,76 @@ def bench_nonstationary_1m():
     return out
 
 
+def bench_nonstationary_65m_matvec():
+    """The 0.1-degree NON-STATIONARY operator, measured (not
+    extrapolated): one banded zero-storage matvec at n = 6,480,000.
+
+    `nonstationary_1M` extrapolates its 6.48M sweep wall from the 1M
+    pair rate (bf*n^2 at ~42 G pairs/s -> ~360 s); this section runs
+    the real thing once — a W=64 application of the 3000 km-banded
+    stream operator (15.2e12 assembled pairs; the dense covariance
+    would be 168 TB, a bf16 store 84 TB). Routes through the
+    column-chunked PER-GROUP multidispatch (one all-groups program at
+    this scale crashed the remote worker twice; 16 programs of ~20 s
+    pipeline fine — covariance.py `_GROUP_TILE_LIMIT_BYTES`). One warm
+    iteration: the ~30 ms tunnel fetch is noise on a ~310 s wall
+    (builder-measured: warm 309.6 s = 49.2 G pairs/s, ABOVE the 1M
+    sweep's 42.3 — the chunked accumulation fuses better). TPU only.
+    """
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return {"skipped": f"backend={jax.default_backend()}"}
+
+    import jax.numpy as jnp
+
+    from glomargridding_tpu.models.ellipse.covariance import (
+        ellipse_covariance_operator,
+    )
+    from glomargridding_tpu.ops.distances import sigma_rot_flat
+    from glomargridding_tpu.utils.roofline import achieved_pairs
+
+    m_lat, m_lon = 1800, 3600
+    lat = np.linspace(-89.95, 89.95, m_lat).astype(np.float32)
+    lon = np.linspace(-179.95, 179.95, m_lon).astype(np.float32)
+    glat = np.repeat(lat, m_lon)
+    glon = np.tile(lon, m_lat)
+    n = glat.shape[0]
+    Lx, Ly, theta, stdev = realistic_ellipse_params(glat, glon)
+    la = jnp.radians(jnp.asarray(glat))
+    lo = jnp.radians(jnp.asarray(glon))
+    s00, s01, _, s11 = sigma_rot_flat(Lx, Ly, theta)
+    sig = jnp.stack([s00, s01, s11], axis=-1)
+    sqd = jnp.sqrt(s00 * s11 - s01 * s01)
+    float(sqd[0])  # drain upstream compiles before the build timer
+
+    out = {"n": n, "max_dist_km": 3000.0}
+    t0 = time.perf_counter()
+    mv, _, _ = ellipse_covariance_operator(
+        la, lo, sig, sqd, stdev, v=1.5, store="stream",
+        max_dist=3000.0,
+    )
+    out["operator_build_s"] = round(time.perf_counter() - t0, 3)
+    out["band_fraction"] = round(
+        mv.band_stats["bwg"] / mv.band_stats["n_cols_pad"], 3
+    )
+
+    rng = np.random.default_rng(17)
+    W = 64
+    X = jnp.asarray(rng.normal(size=(n, W)).astype(np.float32))
+    t0 = time.perf_counter()
+    float(mv(X)[0, 0])  # compile (or cache load) + first sweep
+    out["first_mv64_s"] = round(time.perf_counter() - t0, 1)
+    t0 = time.perf_counter()
+    float(mv(X)[0, 0])
+    wall = time.perf_counter() - t0
+    out["banded_mv64_s"] = round(wall, 1)
+    out["sweep_roofline"] = achieved_pairs(
+        float(mv.band_stats["wide_pairs"]), wall
+    ).as_dict()
+    return out
+
+
 def _lazy_mle_chunk(m_lat, m_lon, grouped=True):
     """Shared body for the 259k and 1M lazy-MLE chunk sections."""
     import jax
@@ -1391,6 +1461,10 @@ def main():
         # can never cost the headline emit
         ("pallas_ellipse_4k", lambda: bench_pallas_ellipse(n=4096)),
         ("kriging_6.5M_tenth_degree", bench_kriging_tenth),
+        # LAST: ~13 min of mostly-unamortisable wall (build + two
+        # 6.48M banded sweeps at ~310 s each, round-5 new) — can
+        # starve nothing recorded before it
+        ("nonstationary_6.5M_matvec", bench_nonstationary_65m_matvec),
     ):
         t0 = time.perf_counter()
         if t0 - t_start > budget_s:

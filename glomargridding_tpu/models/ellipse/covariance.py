@@ -961,11 +961,41 @@ def _stream_apply_banded_nd(
     gstarts = arrs[11]
     hi_blocks = arrs[12]
     x2 = x if x.ndim == 2 else x[:, None]
+    block = rows_g[0].shape[2]
     if use_fused and x2.shape[1] <= 8:
         out = _apply_fused_pallas(
             cols_p, diag, x2.astype(jnp.float32), hi_blocks,
             kparams, n, n_cols_pad, bwu,
         )
+    elif banded and block * bwg * 4 > _GROUP_TILE_LIMIT_BYTES:
+        # The group window is so wide that one (block, bwg) assemble —
+        # and the several same-shape elementwise intermediates XLA may
+        # materialise before the dot — no longer fits HBM (first hit
+        # at n = 6.48M / 0.1°: bwg = 2.35M, 2.4 GB per intermediate
+        # crashed the TPU worker). Accumulate over ~`_GROUP_CC_BYTES`
+        # column chunks instead: identical tile algebra, bounded
+        # working set, same producer fusion per chunk.
+        ccw = max(256, _GROUP_CC_BYTES // (block * 4) // 256 * 256)
+        ccw = min(ccw, -(-bwg // 256) * 256)
+        if any(
+            isinstance(a, jax.core.Tracer) for a in (x2, *rows_g)
+        ):
+            out = _operator_apply_stream_grouped_chunked(
+                rows_g, cols_p, diag, x2.astype(jnp.float32),
+                gstarts, kparams, n, bwg, n_cols_pad, ccw,
+            )
+        else:
+            # Concrete call: dispatch PER GROUP. A single all-groups
+            # program at this scale executes for minutes — far past
+            # anything the remote worker sustains (measured: the
+            # one-program 6.48M matvec crashed the worker twice,
+            # with bounded per-chunk memory) — while G ~ 16 programs
+            # of ~n/G rows each stay in the regime every other
+            # section runs in, and async dispatch pipelines them.
+            out = _apply_grouped_chunked_multidispatch(
+                rows_g, cols_p, diag, x2.astype(jnp.float32),
+                gstarts, kparams, n, bwg, n_cols_pad, ccw,
+            )
     elif banded:
         out = _operator_apply_stream_grouped(
             rows_g, cols_p, diag, x2.astype(jnp.float32), gstarts,
@@ -1019,6 +1049,156 @@ def _operator_apply_stream_grouped(
 
     _, out = jax.lax.scan(per_group, None, (*rows_g, gstarts))
     out = out.reshape(-1, x2.shape[1])[:n]
+    return out + diag[:, None] * x2
+
+
+# Column-chunk the grouped scan above this per-(row-block x window)
+# tile size: XLA can materialise several (block, bwg) f32 elementwise
+# intermediates of the pair kernel before the dot, and past ~1 GB each
+# a handful of them exhausts HBM (measured: the 0.1-degree grid's
+# bwg = 2.35M window crashed the v5e worker; 1M and below sit well
+# under the limit and keep the single-slice path unchanged).
+_GROUP_TILE_LIMIT_BYTES = 1 << 30
+_GROUP_CC_BYTES = 256 << 20
+
+
+@partial(
+    jax.jit,
+    static_argnames=("kparams", "n", "bwg", "n_cols_pad", "ccw"),
+)
+def _operator_apply_stream_grouped_chunked(
+    rows_g, cols_p, diag, x2, gstarts, kparams, n, bwg, n_cols_pad,
+    ccw,
+):
+    """Group-banded stream with column-chunked accumulation.
+
+    Same band plan and tile algebra as
+    ``_operator_apply_stream_grouped``, but each row block accumulates
+    its output over ``ccw``-wide column chunks of the group window, so
+    the largest live intermediate is (block, ccw) — the working set
+    stays flat as the window grows with n (0.1-degree grids). The
+    window is padded up to a whole number of chunks: column params are
+    edge-padded (finite kernel values) and x zero-padded, so padded
+    columns contribute exact zeros.
+    """
+    ncc = -(-bwg // ccw)
+    bwg_p = ncc * ccw
+    xp = (
+        jnp.pad(x2, ((0, n_cols_pad - n), (0, 0)))
+        if n_cols_pad != n
+        else x2
+    )
+
+    def per_group(_, ginputs):
+        *grows, gs = ginputs
+        cols_sl = tuple(
+            jnp.pad(
+                jax.lax.dynamic_slice_in_dim(c, gs, bwg, axis=0),
+                [(0, bwg_p - bwg)] + [(0, 0)] * (c.ndim - 1),
+                mode="edge",
+            ).reshape((ncc, ccw) + c.shape[1:])
+            for c in cols_p
+        )
+        x_sl = jnp.pad(
+            jax.lax.dynamic_slice(
+                xp, (gs, jnp.zeros((), gs.dtype)), (bwg, xp.shape[1])
+            ),
+            ((0, bwg_p - bwg), (0, 0)),
+        ).reshape(ncc, ccw, xp.shape[1])
+
+        def per_row(_, row_in):
+            def per_cc(acc, cc_in):
+                *ccols, xc = cc_in
+                return (
+                    acc
+                    + _op_tile(tuple(row_in), tuple(ccols), kparams)
+                    @ xc,
+                    None,
+                )
+
+            y0 = jnp.zeros(
+                (row_in[0].shape[0], xp.shape[1]), jnp.float32
+            )
+            y, _ = jax.lax.scan(per_cc, y0, (*cols_sl, x_sl))
+            return None, y
+
+        _, yg = jax.lax.scan(per_row, None, tuple(grows))
+        return None, yg
+
+    _, out = jax.lax.scan(per_group, None, (*rows_g, gstarts))
+    out = out.reshape(-1, x2.shape[1])[:n]
+    return out + diag[:, None] * x2
+
+
+@partial(
+    jax.jit,
+    static_argnames=("kparams", "bwg", "n_cols_pad", "ccw"),
+)
+def _apply_one_group_chunked(
+    grows, cols_p, xp, gs, kparams, bwg, n_cols_pad, ccw
+):
+    """One group of the column-chunked banded stream as its OWN
+    program: (rpg, block, W) output for the group's row blocks.
+    Same algebra as the per_group body of
+    ``_operator_apply_stream_grouped_chunked``."""
+    ncc = -(-bwg // ccw)
+    bwg_p = ncc * ccw
+    cols_sl = tuple(
+        jnp.pad(
+            jax.lax.dynamic_slice_in_dim(c, gs, bwg, axis=0),
+            [(0, bwg_p - bwg)] + [(0, 0)] * (c.ndim - 1),
+            mode="edge",
+        ).reshape((ncc, ccw) + c.shape[1:])
+        for c in cols_p
+    )
+    x_sl = jnp.pad(
+        jax.lax.dynamic_slice(
+            xp, (gs, jnp.zeros((), gs.dtype)), (bwg, xp.shape[1])
+        ),
+        ((0, bwg_p - bwg), (0, 0)),
+    ).reshape(ncc, ccw, xp.shape[1])
+
+    def per_row(_, row_in):
+        def per_cc(acc, cc_in):
+            *ccols, xc = cc_in
+            return (
+                acc
+                + _op_tile(tuple(row_in), tuple(ccols), kparams) @ xc,
+                None,
+            )
+
+        y0 = jnp.zeros(
+            (row_in[0].shape[0], xp.shape[1]), jnp.float32
+        )
+        y, _ = jax.lax.scan(per_cc, y0, (*cols_sl, x_sl))
+        return None, y
+
+    _, yg = jax.lax.scan(per_row, None, tuple(grows))
+    return yg
+
+
+def _apply_grouped_chunked_multidispatch(
+    rows_g, cols_p, diag, x2, gstarts, kparams, n, bwg, n_cols_pad,
+    ccw,
+):
+    """Host-level per-group dispatch of the column-chunked banded
+    stream (concrete inputs only — the traced form is the single
+    program above). All G programs are queued async and the results
+    concatenated once; every dispatch compiles the SAME per-group
+    program (one cache entry)."""
+    xp = (
+        jnp.pad(x2, ((0, n_cols_pad - n), (0, 0)))
+        if n_cols_pad != n
+        else x2
+    )
+    outs = [
+        _apply_one_group_chunked(
+            tuple(a[g] for a in rows_g), cols_p, xp, gstarts[g],
+            kparams, bwg, n_cols_pad, ccw,
+        )
+        for g in range(rows_g[0].shape[0])
+    ]
+    out = jnp.concatenate(outs).reshape(-1, x2.shape[1])[:n]
     return out + diag[:, None] * x2
 
 

@@ -1343,6 +1343,73 @@ def test_banded_stream_operator_exact_vs_dense(rng):
     # chunks active here)
 
 
+def test_grouped_chunked_stream_exact(rng, monkeypatch):
+    """The column-chunked grouped stream (the 0.1-degree working-set
+    path, forced here by shrinking the tile limit) matches the
+    single-slice grouped path and the dense masked covariance exactly:
+    padded columns are edge-padded params x zero-padded x, so they
+    contribute exact zeros."""
+    import jax.numpy as jnp
+
+    from glomargridding_tpu.models.ellipse import covariance as cov
+    from glomargridding_tpu.ops.distances import sigma_rot_flat
+
+    n = 1500
+    lats_deg = np.sort(rng.uniform(-75, 75, n)).astype(np.float32)
+    lons_deg = rng.uniform(-180, 180, n).astype(np.float32)
+    lats = jnp.radians(jnp.asarray(lats_deg))
+    lons = jnp.radians(jnp.asarray(lons_deg))
+    Lx = jnp.asarray(rng.uniform(800, 1600, n), jnp.float32)
+    Ly = jnp.asarray(rng.uniform(400, 900, n), jnp.float32)
+    th = jnp.asarray(rng.uniform(-0.6, 0.6, n), jnp.float32)
+    sd = jnp.asarray(rng.uniform(0.5, 1.5, n), jnp.float32)
+    s00, s01, _, s11 = sigma_rot_flat(Lx, Ly, th)
+    sig = jnp.stack([s00, s01, s11], axis=-1)
+    sqd = jnp.sqrt(s00 * s11 - s01 * s01)
+    X = jnp.asarray(rng.normal(size=(n, 5)).astype(np.float32))
+
+    def build(max_dist):
+        mv, _, _ = cov.ellipse_covariance_operator(
+            lats, lons, sig, sqd, sd, v=1.5,
+            store="stream", max_dist=max_dist, n_blocks=6,
+        )
+        return mv
+
+    mv = build(1500.0)
+    assert mv.band_stats["banded"], "test needs a narrowed window"
+    want = np.asarray(mv(X))
+
+    # force the chunked path (tile limit 0) with a few chunks per
+    # window (ccw -> 256 => >= 2 chunks at any banded bwg here)
+    monkeypatch.setattr(cov, "_GROUP_TILE_LIMIT_BYTES", 0)
+    monkeypatch.setattr(cov, "_GROUP_CC_BYTES", 0)
+    # same tile algebra; only the dot's K-summation order differs.
+    # Concrete x routes the PER-GROUP multidispatch form; traced x
+    # the single-program form — both must match the single-slice path.
+    got = np.asarray(mv(X))
+    np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-6)
+    got1 = np.asarray(mv(X[:, 0]))
+    np.testing.assert_allclose(
+        got1, want[:, 0], rtol=2e-6, atol=2e-6
+    )
+    import jax
+
+    got_tr = np.asarray(jax.jit(mv)(X))
+    np.testing.assert_allclose(got_tr, want, rtol=2e-6, atol=2e-6)
+
+    # and vs the dense masked covariance (correctness, not just parity)
+    dense = np.asarray(
+        cov.build_ellipse_covariance(
+            lats, lons, sig, sqd, sd, v=1.5,
+            max_dist=1500.0, use_pallas=False,
+        ),
+        dtype=np.float64,
+    )
+    np.testing.assert_allclose(
+        got, dense @ np.asarray(X), rtol=2e-4, atol=2e-4
+    )
+
+
 def test_band_plan_certificates(rng):  # noqa: C901
     """The latitude-gap band plan: windows cover every pair within the
     cutoff, hi is upper-triangular and >= the diagonal."""
