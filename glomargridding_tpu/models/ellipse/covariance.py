@@ -975,8 +975,12 @@ def _stream_apply_banded_nd(
         # crashed the TPU worker). Accumulate over ~`_GROUP_CC_BYTES`
         # column chunks instead: identical tile algebra, bounded
         # working set, same producer fusion per chunk.
-        ccw = max(256, _GROUP_CC_BYTES // (block * 4) // 256 * 256)
-        ccw = min(ccw, -(-bwg // 256) * 256)
+        # chunk count first, then the width: ccw = bwg/ncc rounded up
+        # to lanes, so window padding stays < one 256-lane chunk (a
+        # fixed ccw independent of bwg padded up to 39% dead producer
+        # work at the 1M shape — padded columns still assemble pairs)
+        ncc = max(1, -(-(block * bwg * 4) // _GROUP_CC_BYTES))
+        ccw = -(-(-(-bwg // ncc)) // 256) * 256
         if any(
             isinstance(a, jax.core.Tracer) for a in (x2, *rows_g)
         ):

@@ -1382,7 +1382,7 @@ def test_grouped_chunked_stream_exact(rng, monkeypatch):
     # force the chunked path (tile limit 0) with a few chunks per
     # window (ccw -> 256 => >= 2 chunks at any banded bwg here)
     monkeypatch.setattr(cov, "_GROUP_TILE_LIMIT_BYTES", 0)
-    monkeypatch.setattr(cov, "_GROUP_CC_BYTES", 0)
+    monkeypatch.setattr(cov, "_GROUP_CC_BYTES", 1)
     # same tile algebra; only the dot's K-summation order differs.
     # Concrete x routes the PER-GROUP multidispatch form; traced x
     # the single-program form — both must match the single-slice path.
