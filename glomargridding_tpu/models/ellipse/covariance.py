@@ -863,19 +863,8 @@ def _stream_band_plan(
     ).reshape(n_chunks, chunk)
     cmin, cmax = clat.min(axis=1), clat.max(axis=1)
 
-    gap = np.maximum(
-        0.0,
-        np.maximum(
-            rmin[:, None] - cmax[None, :], cmin[None, :] - rmax[:, None]
-        ),
-    )
-    active = gap <= thresh
-    # every row block overlaps at least one chunk (its own points), but
-    # guard degenerate masks anyway
-    has = active.any(axis=1)
-    first = np.where(has, np.argmax(active, axis=1), 0)
-    last = np.where(
-        has, n_chunks - 1 - np.argmax(active[:, ::-1], axis=1), 0
+    has, first, last = _interval_windows(
+        rmin, rmax, cmin, cmax, thresh
     )
     bw_chunks = int((last - first + 1).max())
     start = np.minimum(first, n_chunks - bw_chunks).astype(np.int64)
@@ -890,19 +879,47 @@ def _stream_band_plan(
         np.pad(lat_np, (0, ppad), mode="edge") if ppad else lat_np
     ).reshape(n_p, chunk_p)
     pmin, pmax = plat.min(axis=1), plat.max(axis=1)
-    gap_p = np.maximum(
-        0.0,
-        np.maximum(
-            pmin[:, None] - pmax[None, :], pmin[None, :] - pmax[:, None]
-        ),
-    )
-    active_p = gap_p <= thresh
-    has_p = active_p.any(axis=1)
-    last_p = np.where(
-        has_p, n_p - 1 - np.argmax(active_p[:, ::-1], axis=1), 0
-    )
+    _, _, last_p = _interval_windows(pmin, pmax, pmin, pmax, thresh)
     hi = np.maximum(last_p, np.arange(n_p)).astype(np.int32)
     return col_starts, bw_chunks * chunk, hi
+
+
+def _interval_windows(amin, amax, bmin, bmax, thresh):
+    """Per row interval [amin_i, amax_i]: the first/last column
+    interval j whose latitude gap is <= thresh (i.e. bmax_j >= amin_i -
+    thresh AND bmin_j <= amax_i + thresh).
+
+    When the column intervals are latitude-sorted — every lat-major
+    grid order — the active set is contiguous and two searchsorted
+    calls give the EXACT same windows as the pairwise scan in
+    O((R + C) log C) instead of O(R*C): at 6.48M the pairwise gap
+    matrix was 5.1 GB of f64 and ~100 s of the 145 s operator build.
+    Unsorted orders take the pairwise fallback (conservative windows,
+    identical to the original code).
+    """
+    if np.all(np.diff(bmin) >= 0.0) and np.all(np.diff(bmax) >= 0.0):
+        first = np.searchsorted(bmax, amin - thresh, side="left")
+        last = np.searchsorted(bmin, amax + thresh, side="right") - 1
+        has = first <= last
+        return (
+            has,
+            np.where(has, first, 0).astype(np.int64),
+            np.where(has, last, 0).astype(np.int64),
+        )
+    gap = np.maximum(
+        0.0,
+        np.maximum(
+            amin[:, None] - bmax[None, :], bmin[None, :] - amax[:, None]
+        ),
+    )
+    active = gap <= thresh
+    has = active.any(axis=1)
+    nc = bmin.shape[0]
+    first = np.where(has, np.argmax(active, axis=1), 0)
+    last = np.where(
+        has, nc - 1 - np.argmax(active[:, ::-1], axis=1), 0
+    )
+    return has, first.astype(np.int64), last.astype(np.int64)
 
 
 def _group_windows(

@@ -1410,6 +1410,62 @@ def test_grouped_chunked_stream_exact(rng, monkeypatch):
     )
 
 
+def test_interval_windows_sorted_matches_pairwise(rng):
+    """The O(n log n) searchsorted window path (lat-sorted column
+    intervals — every lat-major grid) must return exactly the windows
+    of the O(n^2) pairwise scan; unsorted input takes the fallback."""
+    from glomargridding_tpu.models.ellipse.covariance import (
+        _interval_windows,
+    )
+
+    for trial in range(5):
+        c = np.sort(rng.uniform(-80, 80, 37))
+        bmin, bmax = c - rng.uniform(0, 2, 37), c + rng.uniform(0, 2, 37)
+        # bmin sorted by construction; force bmax monotone too
+        bmax = np.maximum.accumulate(bmax)
+        amin = rng.uniform(-85, 85, 23)
+        amax = amin + rng.uniform(0, 3, 23)
+        thresh = rng.uniform(0.5, 10.0)
+
+        has_s, first_s, last_s = _interval_windows(
+            amin, amax, bmin, bmax, thresh
+        )
+        # pairwise oracle (the fallback formula, computed directly)
+        gap = np.maximum(
+            0.0,
+            np.maximum(
+                amin[:, None] - bmax[None, :],
+                bmin[None, :] - amax[:, None],
+            ),
+        )
+        active = gap <= thresh
+        has = active.any(axis=1)
+        first = np.where(has, np.argmax(active, axis=1), 0)
+        last = np.where(
+            has, 36 - np.argmax(active[:, ::-1], axis=1), 0
+        )
+        np.testing.assert_array_equal(has_s, has)
+        np.testing.assert_array_equal(first_s, first)
+        np.testing.assert_array_equal(last_s, last)
+
+    # unsorted columns: the fallback must be taken and agree with the
+    # oracle by construction
+    perm = rng.permutation(37)
+    has_u, first_u, last_u = _interval_windows(
+        amin, amax, bmin[perm], bmax[perm], thresh
+    )
+    gap = np.maximum(
+        0.0,
+        np.maximum(
+            amin[:, None] - bmax[perm][None, :],
+            bmin[perm][None, :] - amax[:, None],
+        ),
+    )
+    active = gap <= thresh
+    has = active.any(axis=1)
+    np.testing.assert_array_equal(has_u, has)
+
+
 def test_band_plan_certificates(rng):  # noqa: C901
     """The latitude-gap band plan: windows cover every pair within the
     cutoff, hi is upper-triangular and >= the diagonal."""
