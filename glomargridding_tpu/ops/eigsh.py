@@ -509,9 +509,15 @@ def adaptive_topk_eigh(  # noqa: C901
             for _ in range(n_iter):
                 Q, ok = _cholqr2(Y)
                 all_ok = all_ok & ok
+                # drop the pre-QR block BEFORE the sweep: at 6.48M a
+                # width-96 (n, w) buffer is 2.5 GB and holding it
+                # across the sweep's pad/group/concat intermediates
+                # tipped a 16 GB chip into ResourceExhausted
+                Y = None
                 Y = jnp.asarray(matvec(Q))
             Q, ok = _cholqr2(Y)
             all_ok = all_ok & ok
+            Y = None
             Bn = jnp.asarray(matvec(Q))
             T = Q.T @ Bn
             return Q, Bn, all_ok, 0.5 * (T + T.T)
@@ -528,10 +534,12 @@ def adaptive_topk_eigh(  # noqa: C901
             Y = Y - Q_lock @ (Q_lock.T @ Y)
             Qa, ok = _cholqr2(Y)
             all_ok = all_ok & ok
+            Y = None  # see cold path: frees (n, w) across the sweep
             Y = jnp.asarray(matvec(Qa))
         Y = Y - Q_lock @ (Q_lock.T @ Y)
         Qa, ok = _cholqr2(Y)
         all_ok = all_ok & ok
+        Y = None
         Ba = jnp.asarray(matvec(Qa))
         Q = jnp.concatenate([Q_lock, Qa], axis=1)
         Bn = jnp.concatenate([B_lock, Ba], axis=1)
