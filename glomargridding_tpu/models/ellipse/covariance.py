@@ -615,7 +615,7 @@ def ellipse_covariance_operator(  # noqa: C901
         # each group's window is band + group latitude span; G is
         # re-derived from the rows-per-group so block-count padding
         # wastes at most rpg - 1 blocks (naive ceil wasted 25% at 65k).
-        rpg = -(-n_blocks // min(n_blocks, 16))
+        rpg = -(-n_blocks // min(n_blocks, _stream_groups(n_blocks)))
         G = -(-n_blocks // rpg)
         nb_pad = G * rpg
         gs, bwg = _group_windows(
@@ -831,6 +831,23 @@ def _pad_edge(a, pad):
         return a
     widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
     return jnp.pad(a, widths, mode="edge")
+
+
+# Row-block groups for the banded wide path. Each group's column
+# window is band + the group's LATITUDE SPAN, so more groups mean a
+# tighter window (fewer assembled pairs) but more column slices; too
+# many groups degenerates toward per-row-block slices — the measured
+# loser that breaks XLA's assemble-into-matmul fusion. rpg >= 16 keeps
+# every slice amortised over at least 16 row blocks. Swept on the v5e
+# at 1M / W=640 / 3000 km (warm): G_max 16 -> 9.25 s (window frac
+# .363), 32 -> 8.34 s (.332), 64 -> 7.67 s (.317, 45.0 G pairs/s),
+# 128 -> 7.76 s (.309 — fewer pairs but the per-group slice overhead
+# and shallower fusion eat the gain). 64 is the knee.
+_STREAM_GROUPS_MAX = 64
+
+
+def _stream_groups(n_blocks):
+    return max(16, min(_STREAM_GROUPS_MAX, n_blocks // 16))
 
 
 def _stream_band_plan(
