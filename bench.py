@@ -1075,7 +1075,7 @@ def bench_nonstationary_65m_matvec():
     stream operator (15.2e12 assembled pairs; the dense covariance
     would be 168 TB, a bf16 store 84 TB). Routes through the
     column-chunked PER-GROUP multidispatch (one all-groups program at
-    this scale crashed the remote worker twice; 16 programs of ~20 s
+    this scale crashed the remote worker twice; ~64 programs of ~4 s
     pipeline fine — covariance.py `_GROUP_TILE_LIMIT_BYTES`). One warm
     iteration: the ~30 ms tunnel fetch is noise on a ~310 s wall
     (builder-measured: warm 309.6 s = 49.2 G pairs/s, ABOVE the 1M

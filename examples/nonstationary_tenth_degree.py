@@ -16,11 +16,12 @@ f32 eigensolver block of 1024 columns is 26.5 GB). What runs on one
      operator stages instead);
   2. the 3000 km-banded zero-storage stream operator: the band plan
      is two O(n log n) ``searchsorted`` passes, and applications run
-     as 16 per-group programs accumulating ~256 MB column chunks
+     as per-group programs (one per row-block group) accumulating
+     ~256 MB column chunks
      (one all-groups program at this scale crashed the remote worker
      — `docs/perf.md` "0.1° chunked per-group dispatch"). One warm
-     W=64 application assembles 15.2e12 pairs in ~300 s
-     (49-51 G pairs/s, ~75% of the VPU pair-roofline);
+     W=64 application assembles ~13e12 pairs in ~260 s
+     (49-51 G pairs/s, ~74% of the VPU pair-roofline);
   3. a REDUCED-RANK PSD repair runs single-chip: rank <= 88 keeps
      every (n, width) eigensolver block ~2.4 GB so the randomized
      subspace iteration (4 operator sweeps at n_iter=2) fits HBM.
@@ -33,9 +34,9 @@ f32 eigensolver block of 1024 columns is 26.5 GB). What runs on one
   4. kriging + a 100-member two-stage ensemble off the factors
      (Woodbury, diagonal obs error) — linear in n at fixed rank.
 
-Wall-clock is dominated by the ~300 s operator sweeps: expect
+Wall-clock is dominated by the ~260-310 s operator sweeps: expect
 ~25-35 min end-to-end warm (each of the repair's 4 sweeps + the
-demonstration matvec is one full pass over 15.2e12 pairs).
+demonstration matvec is one full pass over ~13e12 pairs).
 
 Run: python examples/nonstationary_tenth_degree.py
 Env:  GLOMAR_SAVE_OUTPUTS=<dir>   store .npz + stage walls
@@ -140,7 +141,7 @@ def main():
     )
 
     # one demonstration application (this is the bench-recorded
-    # number: ~300 s warm = 49-51 G pairs/s over 15.2e12 pairs)
+    # number: ~260-310 s warm = 49-51 G pairs/s over ~13e12 pairs)
     rng = np.random.default_rng(11)
     X = jnp.asarray(rng.normal(size=(n, 64)).astype(np.float32))
     float(mv(X)[0, 0])
@@ -155,7 +156,7 @@ def main():
     # reduced-rank repair: plain-callable wrapper ON PURPOSE — the
     # Matvec fast path would fuse all 4 sweeps into ONE program,
     # which at a ~300 s/sweep scale the remote worker does not
-    # survive; the host-level loop dispatches each sweep's 16
+    # survive; the host-level loop dispatches each sweep's
     # per-group programs instead.
     k_cap = int(os.environ.get("GLOMAR_TENTH_RANK", "88"))
     psd = explained_variance_clip_lowrank(

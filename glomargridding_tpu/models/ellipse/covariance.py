@@ -611,7 +611,7 @@ def ellipse_covariance_operator(  # noqa: C901
         # Group row blocks for the wide path: ONE column slice per
         # group (not per row block — measured: per-row dynamic slices
         # break XLA's assemble-into-matmul fusion and LOSE to the
-        # dense stream). G ~ 16 keeps slice overhead amortised while
+        # dense stream). G (16-64, _stream_groups) keeps slices amortised while
         # each group's window is band + group latitude span; G is
         # re-derived from the rows-per-group so block-count padding
         # wastes at most rpg - 1 blocks (naive ceil wasted 25% at 65k).
@@ -944,7 +944,7 @@ def _group_windows(
 ):
     """One (start, width) column window per row-block GROUP.
 
-    The wide path slices the columns once per group (G ~ 16) instead of
+    The wide path slices the columns once per group (G of 16-64) instead of
     once per row block: per-row dynamic slices break XLA's
     assemble-into-matmul fusion (measured SLOWER than the dense
     stream), while per-group slices are amortised over rpg row blocks
@@ -1027,7 +1027,7 @@ def _stream_apply_banded_nd(
             # program at this scale executes for minutes — far past
             # anything the remote worker sustains (measured: the
             # one-program 6.48M matvec crashed the worker twice,
-            # with bounded per-chunk memory) — while G ~ 16 programs
+            # with bounded per-chunk memory) — while G (16-64) programs
             # of ~n/G rows each stay in the regime every other
             # section runs in, and async dispatch pipelines them.
             out = _apply_grouped_chunked_multidispatch(
